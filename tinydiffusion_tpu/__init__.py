@@ -1,0 +1,29 @@
+"""tinydiffusion_tpu — a TPU-native (JAX / Flax / Optax / Orbax / Pallas) diffusion framework.
+
+Re-designed from scratch with the capability surface of the reference
+``david-wb/tiny-diffusion`` (PyTorch, single-GPU educational scripts):
+
+- DDPM forward process (linear beta schedule), closed-form q-sample
+  (reference: diffusion.py:165-190).
+- Ancestral DDPM reverse sampler compiled to a single ``jax.lax.scan``
+  (reference: diffusion.py:254-276 — a Python loop of 1000 host-driven steps).
+- Model zoo: pixel UNet (unconditional + class-conditional), MNIST MLP VAE,
+  latent MLP UNet, diffusion transformer (DiT), conv VAE with self-attention
+  and spectral norm, text-conditional latent UNet.
+- Data pipelines (MNIST IDX + deterministic synthetic fallback, LAION-style
+  URL-cache pipeline with an offline mode), training loops, checkpointing
+  (Orbax), metrics (JSONL/console, optional wandb), and visualization.
+
+TPU-first design points (none of which exist in the reference):
+
+- NHWC layouts, bfloat16 compute with fp32 params, static shapes everywhere.
+- The full train step is one jitted SPMD program over a ``jax.sharding.Mesh``
+  (data-parallel batch sharding + optional tensor-parallel param sharding);
+  gradients reduce via XLA collectives over ICI.
+- The 1000-step sampler never leaves the device: schedule tables live in HBM
+  and the loop is ``lax.scan`` with a threaded PRNG key.
+- Pallas kernels for the hot fused ops (attention over H*W tokens, fused
+  q_sample + noise generation).
+"""
+
+__version__ = "0.1.0"

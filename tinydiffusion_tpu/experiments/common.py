@@ -1,0 +1,102 @@
+"""Shared experiment plumbing (sampler factory, dtype resolution, CLI)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tinydiffusion_tpu.core.sampler import ddpm_sample, ddpm_denoising_trajectory
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+
+
+def resolve_dtype(name: str):
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(
+            f"unsupported compute dtype {name!r}; choose one of {sorted(table)} "
+            "(TPU has no native float16 — use bfloat16)"
+        )
+    return table[name]
+
+
+def make_sampler(
+    model,
+    schedule: DiffusionSchedule,
+    sample_shape: Tuple[int, ...],
+    conditional: bool = False,
+    dtype=jnp.float32,
+):
+    """Jitted end-to-end sampler: the entire T-step reverse chain is one
+    compiled program (vs the reference's 1000 host-driven forwards,
+    diffusion.py:254-276). Eval-mode BN makes the scan body pure."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
+        shape = sample_shape if n is None else (n,) + sample_shape[1:]
+
+        def apply_fn(x, t_vec):
+            variables = {"params": params, "batch_stats": batch_stats}
+            args = (x, t_vec, y) if conditional else (x, t_vec)
+            return model.apply(variables, *args, train=False)
+
+        return ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype)
+
+    return sample_fn
+
+
+def make_trajectory_sampler(
+    model,
+    schedule: DiffusionSchedule,
+    sample_shape: Tuple[int, ...],
+    stride: int = 100,
+    conditional: bool = False,
+    dtype=jnp.float32,
+):
+    """Jitted coarse denoising-trajectory sampler
+    (visualize_denoising_process parity, diffusion.py:321-348)."""
+
+    @jax.jit
+    def traj_fn(params, batch_stats, key, y=None):
+        def apply_fn(x, t_vec):
+            variables = {"params": params, "batch_stats": batch_stats}
+            args = (x, t_vec, y) if conditional else (x, t_vec)
+            return model.apply(variables, *args, train=False)
+
+        return ddpm_denoising_trajectory(
+            apply_fn, schedule, sample_shape, key, stride=stride, dtype=dtype
+        )
+
+    return traj_fn
+
+
+def add_config_flags(parser: argparse.ArgumentParser, config) -> None:
+    """Expose every dataclass config field as a --flag (the reference has no
+    CLI at all — SURVEY.md section 2 #18; this is the thin typed CLI)."""
+    for f in dataclasses.fields(config):
+        val = getattr(config, f.name)
+        if isinstance(val, bool):
+            parser.add_argument(
+                f"--{f.name.replace('_', '-')}",
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=val,
+            )
+        elif val is None:
+            parser.add_argument(f"--{f.name.replace('_', '-')}", type=str, default=None)
+        else:
+            parser.add_argument(
+                f"--{f.name.replace('_', '-')}", type=type(val), default=val
+            )
+
+
+def config_from_args(config_cls, args: argparse.Namespace):
+    kwargs = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(config_cls)
+        if hasattr(args, f.name)
+    }
+    return config_cls(**kwargs)

@@ -1,0 +1,197 @@
+"""Class-conditional MNIST DDPM — parity with reference conditional_diffusion.py.
+
+Reference recipe (conditional_diffusion.py:202-351, 457-485): same UNet plus
+``Embedding(10, 256)`` added to the time embedding; 80/20 train/val split
+(seed 42); Adam 1e-3; per epoch — avg train loss, eval-mode val pass, save
+best-val checkpoint, generate 16 samples at random labels and save a labeled
+grid; after training, generate digit-7 samples.
+
+TPU-native: same single-program train/eval steps and scan sampler as the
+unconditional experiment; the checkpoint is a full resumable state via Orbax
+(the reference saves a bare state_dict, conditional_diffusion.py:300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.data.mnist import load_mnist, train_val_split
+from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
+from tinydiffusion_tpu.io.checkpoint import BestKeeper
+from tinydiffusion_tpu.models.unet28 import UNet28
+from tinydiffusion_tpu.obs.images import save_image_grid
+from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+from tinydiffusion_tpu.train.trainer import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class ConditionalDiffusionConfig:
+    num_epochs: int = 10
+    batch_size: int = 128
+    lr: float = 1e-3
+    num_timesteps: int = 1000
+    num_classes: int = 10
+    time_dim: int = 256
+    n_samples: int = 16
+    seed: int = 0
+    val_frac: float = 0.2
+    split_seed: int = 42
+    data_root: str = "./data"
+    out_dir: str = "runs/conditional_diffusion"
+    model_save_path: str = "checkpoints/conditional_diffusion_best"
+    compute_dtype: str = "bfloat16"
+    use_mesh: bool = True
+    log_every: int = 100
+    sample_every_epoch: bool = True
+    max_steps_per_epoch: int = 0
+
+
+def run(config: ConditionalDiffusionConfig) -> dict:
+    dtype = resolve_dtype(config.compute_dtype)
+    rng = jax.random.PRNGKey(config.seed)
+
+    images, labels = load_mnist(config.data_root, train=True)
+    xt, yt, xv, yv = train_val_split(
+        images, labels, config.val_frac, seed=config.split_seed
+    )
+    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
+    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
+
+    schedule = DiffusionSchedule.linear(config.num_timesteps)
+    model = UNet28(
+        time_dim=config.time_dim, num_classes=config.num_classes, dtype=dtype
+    )
+    tx = optax.adam(config.lr)
+
+    rng, init_rng = jax.random.split(rng)
+    example = (
+        jnp.zeros((config.batch_size, 28, 28, 1), jnp.float32),
+        jnp.zeros((config.batch_size,), jnp.int32),
+        jnp.zeros((config.batch_size,), jnp.int32),
+    )
+    state = create_train_state(model, tx, example, init_rng)
+
+    mesh = make_mesh(("data",)) if config.use_mesh else None
+    train_step = make_train_step(model, tx, schedule, conditional=True, mesh=mesh)
+    eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh)
+    sampler = make_sampler(
+        model, schedule, (config.n_samples, 28, 28, 1), conditional=True, dtype=dtype
+    )
+
+    logger = MetricsLogger(
+        "conditional-diffusion-mnist", config.out_dir, dataclasses.asdict(config)
+    )
+    keeper = BestKeeper(config.model_save_path)
+    throughput = Throughput()
+    result = {"val_losses": [], "samples_per_sec": 0.0}
+
+    step = 0
+    for epoch in range(config.num_epochs):
+        throughput.reset()
+        train_loss, n_train = 0.0, 0
+        for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if mesh is not None:
+                x0, y = shard_batch(mesh, (x0, y))
+            state, loss = train_step(state, x0, y)
+            train_loss += float(loss)
+            n_train += 1
+            throughput.add(config.batch_size)
+            if batch_idx % config.log_every == 0:
+                logger.log(
+                    {"epoch": epoch, "batch": batch_idx, "batch_train_loss": float(loss)},
+                    step=step,
+                )
+            step += 1
+        jax.block_until_ready(state.params)
+        result["samples_per_sec"] = throughput.samples_per_sec
+        avg_train_loss = train_loss / max(n_train, 1)
+
+        # Validation (eval-mode BN, fixed per-epoch key) —
+        # conditional_diffusion.py:274-292.
+        val_loss, n_val = 0.0, 0
+        for batch_idx, (x0, y) in enumerate(val_it.epoch()):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if mesh is not None:
+                x0, y = shard_batch(mesh, (x0, y))
+            val_key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 1),
+                                         epoch * 10000 + batch_idx)
+            val_loss += float(
+                eval_step(state.params, state.batch_stats, x0, val_key, y)
+            )
+            n_val += 1
+        avg_val_loss = val_loss / max(n_val, 1)
+        result["val_losses"].append(avg_val_loss)
+
+        logger.log(
+            {
+                "epoch": epoch,
+                "train_loss": avg_train_loss,
+                "val_loss": avg_val_loss,
+                "train_samples_per_sec": throughput.samples_per_sec,
+            },
+            step=step,
+        )
+        if keeper.update(avg_val_loss, state, config=dataclasses.asdict(config), epoch=epoch):
+            print(f"Saved best model at epoch {epoch} with val loss: {avg_val_loss:.4f}")
+
+        if config.sample_every_epoch:
+            rng, y_rng, s_rng = jax.random.split(rng, 3)
+            y_sample = jax.random.randint(
+                y_rng, (config.n_samples,), 0, config.num_classes
+            )
+            samples = sampler(state.params, state.batch_stats, s_rng, y=y_sample)
+            samples = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
+            save_image_grid(
+                samples,
+                f"{config.out_dir}/generated_mnist_epoch_{epoch}.png",
+                nrow=4,
+                labels=np.asarray(y_sample),
+            )
+            logger.log_image(
+                "samples", f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", step
+            )
+
+    # Post-training: digit-7 grid (conditional_diffusion.py:474-485).
+    rng, s_rng = jax.random.split(rng)
+    y7 = jnp.full((config.n_samples,), 7, jnp.int32)
+    samples = sampler(state.params, state.batch_stats, s_rng, y=y7)
+    samples = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
+    save_image_grid(
+        samples, f"{config.out_dir}/generated_digit_7.png", nrow=4,
+        labels=[7] * config.n_samples,
+    )
+    result["state"] = state
+    logger.finish()
+    return result
+
+
+def main(argv=None):
+    import argparse
+
+    from tinydiffusion_tpu.experiments.common import add_config_flags, config_from_args
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser, ConditionalDiffusionConfig())
+    args = parser.parse_args(argv)
+    print(f"devices: {jax.devices()}")
+    run(config_from_args(ConditionalDiffusionConfig, args))
+
+
+if __name__ == "__main__":
+    main()

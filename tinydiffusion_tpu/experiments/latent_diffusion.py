@@ -1,0 +1,288 @@
+"""Class-conditional latent diffusion on the MNIST VAE — parity with
+reference latent_diffusion.py.
+
+Two-stage pipeline (latent_diffusion.py:418-458): load the VAE checkpoint
+produced by ``python -m vae`` (config round-tripped from the checkpoint,
+latent_diffusion.py:422-430); train the MLP UNet denoiser on 20-d latents
+(frozen VAE encode + reparameterize per batch, 207-209); Adam 1e-3, 80/20
+split, best-val checkpoint; per epoch sample 16 labeled digits — the
+1000-step latent chain ends with ``vae.decode`` (308-347); after training,
+a digit-7 grid with the faithful ``(x+1)/2`` on the already-[0,1] sigmoid
+output (451, a preserved quirk — the grid is min/max-normalized anyway).
+
+The same experiment serves the DiT backbone (diffusion_transformer.py —
+identical stack, transformer denoiser, lr 3e-4, per-epoch cosine LR
+schedule 176-177, 288): pass ``backbone="dit"``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.core.sampler import ddpm_sample
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.data.mnist import load_mnist, train_val_split
+from tinydiffusion_tpu.experiments.common import resolve_dtype
+from tinydiffusion_tpu.io.checkpoint import (
+    BestKeeper,
+    checkpoint_exists,
+    load_sidecar,
+    restore_checkpoint,
+)
+from tinydiffusion_tpu.models.dit import DiT
+from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
+from tinydiffusion_tpu.models.vae_mnist import VAEMnist
+from tinydiffusion_tpu.obs.images import save_image_grid
+from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+from tinydiffusion_tpu.train.trainer import (
+    create_train_state,
+    make_latent_eval_step,
+    make_latent_train_step,
+)
+
+
+@dataclasses.dataclass
+class LatentDiffusionConfig:
+    backbone: str = "mlp_unet"  # "mlp_unet" (latent_diffusion.py) | "dit"
+    num_epochs: int = 100
+    batch_size: int = 128
+    lr: float = 1e-3  # DiT uses 3e-4 + cosine (diffusion_transformer.py:176-177)
+    num_timesteps: int = 1000
+    num_classes: int = 10
+    time_dim: int = 256
+    n_samples: int = 16
+    seed: int = 0
+    val_frac: float = 0.2
+    split_seed: int = 42
+    data_root: str = "./data"
+    out_dir: str = "runs/latent_diffusion"
+    vae_checkpoint: str = "checkpoints/vae_mnist_best"
+    model_save_path: str = "checkpoints/latent_diffusion_best"
+    compute_dtype: str = "bfloat16"
+    use_mesh: bool = True
+    log_every: int = 100
+    sample_every_epoch: bool = True
+    max_steps_per_epoch: int = 0
+
+
+def load_vae(config: LatentDiffusionConfig):
+    """VAE checkpoint + config round-trip (latent_diffusion.py:422-434).
+    Falls back to a fresh default-config VAE when no checkpoint exists,
+    mirroring the reference's behavior (latent_diffusion.py:431-434)."""
+    vae_model = VAEMnist()
+    template = vae_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)), jax.random.PRNGKey(0)
+    )["params"]
+    if checkpoint_exists(config.vae_checkpoint):
+        sidecar = load_sidecar(config.vae_checkpoint)
+        vae_cfg = sidecar.get("config", {})
+        vae_model = VAEMnist(
+            latent_dim=int(vae_cfg.get("latent_dim", 20)),
+            hidden_dim=int(vae_cfg.get("hidden_dim", 400)),
+            input_dim=int(vae_cfg.get("input_dim", 784)),
+        )
+        # Restore only the params subtree of the saved full train state.
+        import flax.struct
+
+        from tinydiffusion_tpu.experiments.vae import VAETrainState
+
+        tx = optax.adam(1e-3)
+        state_template = VAETrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=template,
+            opt_state=tx.init(template),
+            rng=jax.random.PRNGKey(0),
+        )
+        restored = restore_checkpoint(config.vae_checkpoint, state_template)
+        print(f"Loaded VAE from checkpoint: {config.vae_checkpoint}")
+        return vae_model, restored.params, int(vae_cfg.get("latent_dim", 20))
+    print(f"VAE checkpoint not found at {config.vae_checkpoint}; using fresh VAE")
+    return vae_model, template, 20
+
+
+def build_denoiser(config: LatentDiffusionConfig, latent_dim: int, dtype):
+    if config.backbone == "dit":
+        return DiT(
+            time_dim=config.time_dim,
+            num_classes=config.num_classes,
+            latent_dim=latent_dim,
+            dtype=dtype,
+        )
+    return MLPUNetLatent(
+        time_dim=config.time_dim,
+        num_classes=config.num_classes,
+        latent_dim=latent_dim,
+        dtype=dtype,
+    )
+
+
+def make_latent_sampler(vae_model, model, schedule, n_samples, latent_dim, dtype):
+    """Latent reverse chain + decode tail, one jitted program
+    (latent_diffusion.py:308-347)."""
+
+    @jax.jit
+    def sample_fn(params, batch_stats, vae_params, key, y):
+        def apply_fn(z, t_vec):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, z, t_vec, y,
+                train=False,
+            )
+
+        z = ddpm_sample(apply_fn, schedule, (n_samples, latent_dim), key, dtype=dtype)
+        x = vae_model.apply({"params": vae_params}, z, method=VAEMnist.decode)
+        return x.reshape(-1, 28, 28, 1)
+
+    return sample_fn
+
+
+def run(config: LatentDiffusionConfig) -> dict:
+    dtype = resolve_dtype(config.compute_dtype)
+    rng = jax.random.PRNGKey(config.seed)
+
+    vae_model, vae_params, latent_dim = load_vae(config)
+    model = build_denoiser(config, latent_dim, dtype)
+    schedule = DiffusionSchedule.linear(config.num_timesteps)
+
+    if config.backbone == "dit":
+        # diffusion_transformer.py:176-177, 288: Adam 3e-4 with per-epoch
+        # CosineAnnealingLR over num_epochs.
+        lr_schedule = optax.cosine_decay_schedule(3e-4, config.num_epochs)
+        # per-EPOCH schedule: count steps via integer division inside wrapper
+        steps_per_epoch = max(
+            1,
+            (48000 // config.batch_size)
+            if not config.max_steps_per_epoch
+            else config.max_steps_per_epoch,
+        )
+        tx = optax.adam(
+            lambda step: lr_schedule(step // steps_per_epoch)
+        )
+    else:
+        tx = optax.adam(config.lr)
+
+    images, labels = load_mnist(config.data_root, train=True)
+    xt, yt, xv, yv = train_val_split(images, labels, config.val_frac, config.split_seed)
+    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
+    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
+
+    rng, init_rng = jax.random.split(rng)
+    example = (
+        jnp.zeros((config.batch_size, latent_dim), jnp.float32),
+        jnp.zeros((config.batch_size,), jnp.int32),
+        jnp.zeros((config.batch_size,), jnp.int32),
+    )
+    state = create_train_state(model, tx, example, init_rng)
+
+    mesh = make_mesh(("data",)) if config.use_mesh else None
+    train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
+    eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
+    sampler = make_latent_sampler(
+        vae_model, model, schedule, config.n_samples, latent_dim, dtype
+    )
+
+    project = (
+        "dit-latent-diffusion-mnist"
+        if config.backbone == "dit"
+        else "conditional-latent-diffusion-mnist"
+    )
+    logger = MetricsLogger(project, config.out_dir, dataclasses.asdict(config))
+    keeper = BestKeeper(config.model_save_path)
+    throughput = Throughput()
+    result = {"val_losses": [], "samples_per_sec": 0.0}
+
+    step = 0
+    for epoch in range(config.num_epochs):
+        throughput.reset()
+        train_loss, n_train = 0.0, 0
+        for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if mesh is not None:
+                x0, y = shard_batch(mesh, (x0, y))
+            state, loss = train_step(state, vae_params, x0, y)
+            train_loss += float(loss)
+            n_train += 1
+            throughput.add(config.batch_size)
+            if batch_idx % config.log_every == 0:
+                logger.log(
+                    {"epoch": epoch, "batch": batch_idx, "batch_train_loss": float(loss)},
+                    step=step,
+                )
+            step += 1
+        jax.block_until_ready(state.params)
+        result["samples_per_sec"] = throughput.samples_per_sec
+        avg_train_loss = train_loss / max(n_train, 1)
+
+        val_loss, n_val = 0.0, 0
+        for batch_idx, (x0, y) in enumerate(val_it.epoch()):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if mesh is not None:
+                x0, y = shard_batch(mesh, (x0, y))
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(config.seed + 11), epoch * 10000 + batch_idx
+            )
+            val_loss += float(
+                eval_step(state.params, state.batch_stats, vae_params, x0, key, y)
+            )
+            n_val += 1
+        avg_val_loss = val_loss / max(n_val, 1)
+        result["val_losses"].append(avg_val_loss)
+
+        logger.log(
+            {
+                "epoch": epoch,
+                "train_loss": avg_train_loss,
+                "val_loss": avg_val_loss,
+                "train_samples_per_sec": throughput.samples_per_sec,
+            },
+            step=step,
+        )
+        if keeper.update(avg_val_loss, state, config=dataclasses.asdict(config), epoch=epoch):
+            print(f"Saved best model at epoch {epoch} with val loss: {avg_val_loss:.4f}")
+
+        if config.sample_every_epoch:
+            rng, y_rng, s_rng = jax.random.split(rng, 3)
+            y_sample = jax.random.randint(y_rng, (config.n_samples,), 0, 10)
+            x = sampler(state.params, state.batch_stats, vae_params, s_rng, y_sample)
+            x = (np.asarray(x, np.float32) + 1) / 2  # faithful quirk (see module doc)
+            save_image_grid(
+                x, f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", nrow=4,
+                labels=np.asarray(y_sample),
+            )
+
+    # Final digit-7 grid (latent_diffusion.py:450-456).
+    rng, s_rng = jax.random.split(rng)
+    y7 = jnp.full((config.n_samples,), 7, jnp.int32)
+    x = sampler(state.params, state.batch_stats, vae_params, s_rng, y7)
+    x = (np.asarray(x, np.float32) + 1) / 2
+    save_image_grid(
+        x, f"{config.out_dir}/generated_digit_7.png", nrow=4,
+        labels=[7] * config.n_samples,
+    )
+    result["state"] = state
+    logger.finish()
+    return result
+
+
+def main(argv=None):
+    import argparse
+
+    from tinydiffusion_tpu.experiments.common import add_config_flags, config_from_args
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser, LatentDiffusionConfig())
+    args = parser.parse_args(argv)
+    print(f"devices: {jax.devices()}")
+    run(config_from_args(LatentDiffusionConfig, args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""MNIST MLP VAE pretraining — parity with reference vae.py.
+
+Reference recipe (vae.py:79-213): MNIST in [-1,1]; Adam 1e-3, batch 128,
+100 epochs; per epoch — train (loss printed per 100 batches, normalized per
+sample), test pass on the test split with reconstruction panels, best-test
+checkpoint as a rich dict {epoch, model, optimizer, loss, config}
+(vae.py:165-180) consumed later by latent_diffusion / diffusion_transformer;
+final 16-sample decode of z ~ N(0, I) (vae.py:196-212).
+
+The checkpoint here is the Orbax full-state equivalent with the config in
+the JSON sidecar — same round-trip contract (latent_diffusion.py:422-430).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.data.mnist import load_mnist
+from tinydiffusion_tpu.io.checkpoint import BestKeeper
+from tinydiffusion_tpu.models.vae_mnist import VAEConfig, VAEMnist, vae_loss
+from tinydiffusion_tpu.obs.images import save_image_grid
+from tinydiffusion_tpu.obs.metrics import MetricsLogger
+from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+@flax.struct.dataclass
+class VAETrainState:
+    step: jnp.ndarray
+    params: dict
+    opt_state: dict
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class VAEExperimentConfig(VAEConfig):
+    seed: int = 42  # torch.manual_seed(42), vae.py:33
+    data_root: str = "./data"
+    out_dir: str = "runs/vae"
+    use_mesh: bool = True
+    log_every: int = 100
+    max_steps_per_epoch: int = 0
+
+
+def make_vae_train_step(model: VAEMnist, tx, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step_fn(state: VAETrainState, x: jnp.ndarray):
+        rng, z_key = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            recon, mu, logvar = model.apply({"params": params}, x, z_key)
+            return vae_loss(recon, x, mu, logvar)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng),
+            loss,
+        )
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn, donate_argnums=0, in_shardings=(repl, data), out_shardings=(repl, repl)
+    )
+
+
+def make_vae_eval_step(model: VAEMnist, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step_fn(params, x, key):
+        recon, mu, logvar = model.apply({"params": params}, x, key)
+        return vae_loss(recon, x, mu, logvar), recon
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn, in_shardings=(repl, data, repl), out_shardings=(repl, data)
+    )
+
+
+def run(config: VAEExperimentConfig) -> dict:
+    rng = jax.random.PRNGKey(config.seed)
+    model = VAEMnist(
+        latent_dim=config.latent_dim,
+        hidden_dim=config.hidden_dim,
+        input_dim=config.input_dim,
+    )
+    tx = optax.adam(config.learning_rate)
+
+    train_images, _ = load_mnist(config.data_root, train=True)
+    test_images, _ = load_mnist(config.data_root, train=False)
+    train_it = BatchIterator([train_images], config.batch_size, shuffle=True, seed=config.seed)
+    test_it = BatchIterator([test_images], config.batch_size, shuffle=False)
+
+    rng, init_rng, state_rng = jax.random.split(rng, 3)
+    params = model.init(
+        init_rng, jnp.zeros((2, 28, 28, 1)), jax.random.PRNGKey(0)
+    )["params"]
+    state = VAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+    mesh = make_mesh(("data",)) if config.use_mesh else None
+    train_step = make_vae_train_step(model, tx, mesh)
+    eval_step = make_vae_eval_step(model, mesh)
+
+    logger = MetricsLogger("vae_mnist", config.out_dir, dataclasses.asdict(config))
+    keeper = BestKeeper(f"{config.checkpoint_dir}/vae_mnist_best")
+    result = {"test_losses": []}
+
+    n_train = len(train_images) - len(train_images) % config.batch_size
+    n_test = len(test_images) - len(test_images) % config.batch_size
+
+    for epoch in range(1, config.epochs + 1):
+        # Train epoch (vae.py:105-126).
+        train_loss = 0.0
+        for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+            state, loss = train_step(state, x)
+            train_loss += float(loss)
+            if batch_idx % config.log_every == 0:
+                logger.log(
+                    {"epoch": epoch, "batch": batch_idx,
+                     "loss_per_sample": float(loss) / config.batch_size}
+                )
+        avg_train_loss = train_loss / max(n_train, 1)
+
+        # Test epoch (vae.py:129-163) with reconstruction panel on batch 0.
+        test_loss = 0.0
+        for i, (x,) in enumerate(test_it.epoch()):
+            if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
+                break
+            key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 7), epoch * 10000 + i)
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+            loss, recon = eval_step(state.params, x, key)
+            test_loss += float(loss)
+            if i == 0:
+                n_img = config.n_images_to_log
+                originals = (np.asarray(x[:n_img]).reshape(-1, 28, 28) + 1) / 2
+                recons = np.asarray(recon[:n_img]).reshape(-1, 28, 28)
+                panel = np.concatenate([originals, recons], axis=0)
+                save_image_grid(
+                    panel,
+                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png",
+                    nrow=n_img,
+                    normalize=False,
+                )
+        avg_test_loss = test_loss / max(n_test, 1)
+        result["test_losses"].append(avg_test_loss)
+
+        logger.log(
+            {"epoch": epoch, "train_loss": avg_train_loss, "test_loss": avg_test_loss}
+        )
+        if keeper.update(
+            avg_test_loss, state, config=dataclasses.asdict(config), epoch=epoch
+        ):
+            print(f"Saved best model (epoch {epoch}, test loss {avg_test_loss:.4f})")
+
+    # Final samples: decode z ~ N(0, I) (vae.py:196-212).
+    rng, z_rng = jax.random.split(rng)
+    z = jax.random.normal(z_rng, (16, config.latent_dim))
+    samples = model.apply({"params": state.params}, z, method=VAEMnist.decode)
+    save_image_grid(
+        np.asarray(samples).reshape(-1, 28, 28),
+        f"{config.out_dir}/generated_samples.png",
+        nrow=4,
+        normalize=False,
+    )
+    result["state"] = state
+    logger.finish()
+    return result
+
+
+def main(argv=None):
+    import argparse
+
+    from tinydiffusion_tpu.experiments.common import add_config_flags, config_from_args
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser, VAEExperimentConfig())
+    args = parser.parse_args(argv)
+    print(f"devices: {jax.devices()}")
+    run(config_from_args(VAEExperimentConfig, args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,292 @@
+"""Conv beta-VAE with self-attention + spectral norm — parity with
+vae_laion.py:50-230.
+
+Components (reference lines):
+- ``SelfAttention`` (50-65): 1x1-conv q (C->C/8), k (C->C/8), v (C->C);
+  **unscaled** ``softmax(Q K^T)``; learnable scalar ``gamma`` init 0;
+  ``out = gamma * attn V + x``. At 128x128 resolution this is dense
+  attention over H*W = 16,384 tokens — the memory hot spot (SURVEY.md §5),
+  served by the Pallas flash-attention kernel (ops/attention.py) on TPU with
+  a plain-einsum fallback.
+- ``ResidualBlock`` (69-85): two spectral-normed bias-free 3x3 convs + BN,
+  additive residual.
+- Encoder (95-130): 4 stride-2 spectral-normed 4x4 convs 3->32->64->128->256
+  with a ResBlock each and SelfAttention after stages 1-2;
+  ``fc_mu``/``fc_logvar``: Linear(256*(S/16)^2, latent).
+- Decoder (133-168): Linear(latent, 256*(S/16)^2) then 4 spectral-normed
+  stride-2 transposed convs 256->128->64->32->3 with ResBlocks and
+  SelfAttention after stages 1-2, final sigmoid.
+- Loss (205-230): ``BCE(sum) + 0.1 * perceptual_MSE(sum) + beta * KLD``.
+  The reference's perceptual net is a frozen pretrained VGG16 ``features[:16]``
+  (170-176) — unavailable offline, so the default here is a structurally
+  identical frozen conv stack with deterministic random weights (documented
+  substitute; the loss plumbing, freezing, and scaling are identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tinydiffusion_tpu.nn.layers import torch_bias_init, torch_kernel_init
+
+
+@dataclasses.dataclass
+class ConvVAEConfig:
+    """vae_laion.py:25-40 defaults."""
+
+    latent_dim: int = 128
+    hidden_channels: int = 64
+    input_channels: int = 3
+    image_size: int = 256
+    batch_size: int = 4
+    epochs: int = 100
+    learning_rate: float = 1e-4
+    checkpoint_dir: str = "checkpoints"
+    image_cache_dir: str = "data/laion"
+    failed_urls_cache: str = "data/failed_urls.json"
+    n_images_to_log: int = 8
+    log_interval: int = 10
+    beta: float = 1.0
+
+
+def _dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Unscaled dense attention over tokens: softmax(q k^T) v.
+
+    q, k: (B, N, D); v: (B, N, C). Matches vae_laion.py:58-63 exactly
+    (no 1/sqrt(d) scaling)."""
+    logits = jnp.einsum("bnd,bmd->bnm", q, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnm,bmc->bnc", attn, v)
+
+
+class SelfAttention2D(nn.Module):
+    """vae_laion.py:50-65 on NHWC feature maps."""
+
+    use_flash: bool = True  # Pallas kernel on TPU when shapes allow
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        d = max(c // 8, 1)
+
+        def conv1x1(features, name):
+            return nn.Conv(
+                features, (1, 1),
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(c),
+                dtype=self.dtype, name=name,
+            )(x)
+
+        q = conv1x1(d, "query").reshape(b, h * w, d)
+        k = conv1x1(d, "key").reshape(b, h * w, d)
+        v = conv1x1(c, "value").reshape(b, h * w, c)
+
+        attn_out = None
+        if self.use_flash:
+            try:
+                from tinydiffusion_tpu.ops.attention import flash_attention_unscaled
+
+                attn_out = flash_attention_unscaled(q, k, v)
+            except Exception:
+                attn_out = None  # fall back to dense einsum path
+        if attn_out is None:
+            attn_out = _dense_attention(q, k, v)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), self.dtype)
+        return gamma * attn_out.reshape(b, h, w, c) + x
+
+
+class ResidualBlockSN(nn.Module):
+    """vae_laion.py:69-85: SN conv -> BN -> ReLU -> SN conv -> BN, + residual."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        residual = x
+        h = nn.SpectralNorm(
+            nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=False,
+                kernel_init=torch_kernel_init, dtype=self.dtype, name="conv1",
+            )
+        )(x, update_stats=train)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(h)
+        h = nn.relu(h)
+        h = nn.SpectralNorm(
+            nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=False,
+                kernel_init=torch_kernel_init, dtype=self.dtype, name="conv2",
+            )
+        )(h, update_stats=train)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn2",
+        )(h)
+        return h + residual
+
+
+class PerceptualNet(nn.Module):
+    """Frozen feature extractor for the perceptual loss.
+
+    Structure mirrors VGG16 ``features[:16]`` (conv1_1..conv3_3 + 2 pools,
+    vae_laion.py:170-176): 3x3 convs 64,64 | pool | 128,128 | pool | 256,256,256.
+    Weights are deterministic random (seeded by flax init) and NEVER trained —
+    a documented offline substitute for the pretrained VGG16, preserving the
+    loss structure, freezing, and scale.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        widths = [(64, 64), (128, 128), (256, 256, 256)]
+        h = x
+        for stage, ws in enumerate(widths):
+            for i, f in enumerate(ws):
+                h = nn.Conv(
+                    f, (3, 3), padding=1,
+                    kernel_init=nn.initializers.he_normal(),
+                    dtype=self.dtype, name=f"conv{stage}_{i}",
+                )(h)
+                h = nn.relu(h)
+            if stage < 2:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        return h
+
+
+class ConvVAE(nn.Module):
+    """vae_laion.py:88-168 (encoder/decoder; loss in ``conv_vae_loss``)."""
+
+    latent_dim: int = 128
+    input_channels: int = 3
+    image_size: int = 256
+    use_flash_attention: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def _spatial(self) -> int:
+        return self.image_size // 16
+
+    def setup(self):
+        widths = [32, 64, 128, 256]
+        self.enc_convs = [
+            nn.SpectralNorm(
+                nn.Conv(
+                    w, (4, 4), strides=(2, 2), padding=1,
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init((self.input_channels if i == 0 else widths[i - 1]) * 16),
+                    dtype=self.dtype, name=f"enc_conv{i}",
+                )
+            )
+            for i, w in enumerate(widths)
+        ]
+        self.enc_res = [
+            ResidualBlockSN(w, dtype=self.dtype, name=f"enc_res{i}")
+            for i, w in enumerate(widths)
+        ]
+        self.enc_attn = [
+            SelfAttention2D(
+                use_flash=self.use_flash_attention, dtype=self.dtype, name=f"enc_attn{i}"
+            )
+            for i in range(2)  # after stages 1-2 only (vae_laion.py:100-113)
+        ]
+        flat = 256 * self._spatial * self._spatial
+        self.fc_mu = nn.Dense(
+            self.latent_dim, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(flat), name="fc_mu",
+        )
+        self.fc_logvar = nn.Dense(
+            self.latent_dim, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(flat), name="fc_logvar",
+        )
+        self.decoder_input = nn.Dense(
+            flat, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.latent_dim), name="decoder_input",
+        )
+        dec_widths = [128, 64, 32, self.input_channels]
+        self.dec_convs = [
+            nn.SpectralNorm(
+                nn.ConvTranspose(
+                    w, (4, 4), strides=(2, 2), padding="SAME",
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init((256 if i == 0 else dec_widths[i - 1]) * 16),
+                    dtype=self.dtype, name=f"dec_conv{i}",
+                )
+            )
+            for i, w in enumerate(dec_widths)
+        ]
+        self.dec_res = [
+            ResidualBlockSN(w, dtype=self.dtype, name=f"dec_res{i}")
+            for i, w in enumerate(dec_widths[:3])
+        ]
+        self.dec_attn = [
+            SelfAttention2D(
+                use_flash=self.use_flash_attention, dtype=self.dtype, name=f"dec_attn{i}"
+            )
+            for i in range(2)  # after stages 1-2 (vae_laion.py:134-150)
+        ]
+
+    def encode(self, x: jnp.ndarray, train: bool = True):
+        h = x.astype(self.dtype)
+        for i in range(4):
+            h = self.enc_convs[i](h, update_stats=train)
+            h = nn.relu(h)
+            h = self.enc_res[i](h, train)
+            if i < 2:
+                h = self.enc_attn[i](h)
+        h = h.reshape(h.shape[0], -1)
+        return self.fc_mu(h), self.fc_logvar(h)
+
+    def reparameterize(self, mu, logvar, key):
+        std = jnp.exp(0.5 * logvar)
+        return mu + jax.random.normal(key, std.shape, std.dtype) * std
+
+    def decode(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        s = self._spatial
+        h = self.decoder_input(z).reshape(-1, s, s, 256).astype(self.dtype)
+        for i in range(4):
+            h = self.dec_convs[i](h, update_stats=train)
+            if i < 3:
+                h = nn.relu(h)
+                h = self.dec_res[i](h, train)
+                if i < 2:
+                    h = self.dec_attn[i](h)
+        return nn.sigmoid(h.astype(jnp.float32))
+
+    def __call__(self, x: jnp.ndarray, key: jax.Array, train: bool = True):
+        mu, logvar = self.encode(x, train)
+        z = self.reparameterize(mu, logvar, key)
+        return self.decode(z, train), mu, logvar
+
+
+def conv_vae_loss(
+    recon_x: jnp.ndarray,
+    x: jnp.ndarray,
+    mu: jnp.ndarray,
+    logvar: jnp.ndarray,
+    recon_features: jnp.ndarray,
+    target_features: jnp.ndarray,
+    beta: float = 1.0,
+) -> Tuple[jnp.ndarray, dict]:
+    """vae_laion.py:205-230: BCE(sum) + 0.1*perceptual MSE(sum) + beta*KLD.
+
+    Returns (total, components) — the components replace the reference's
+    host-side NaN print (220-227) with structured metrics the caller can
+    check and log.
+    """
+    p = jnp.clip(recon_x, 1e-12, 1.0 - 1e-12)
+    bce = -jnp.sum(x * jnp.log(p) + (1.0 - x) * jnp.log1p(-p))
+    perc = jnp.sum((recon_features - target_features) ** 2)
+    kld = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))
+    total = bce + 0.1 * perc + beta * kld
+    return total, {"bce": bce, "perceptual": perc, "kld": kld}

@@ -1,0 +1,101 @@
+"""Experiment tracking: console + JSONL always on, wandb when available.
+
+The reference logs to wandb in 6 of 7 scripts (e.g.
+conditional_diffusion.py:211-219, 272, 341-348) with per-script project names
+and keys like ``train_loss`` / ``val_loss`` / ``batch_train_loss``. wandb is
+not installed in this environment, so the logger degrades gracefully: every
+run always writes ``<run_dir>/metrics.jsonl`` (one JSON object per log call,
+with step and wall time) and prints a compact console line; if wandb imports
+and ``WANDB_MODE`` permits, it mirrors the same keys there.
+
+Also hosts the throughput counters (samples/sec/chip) used by bench.py —
+observability the reference lacks entirely (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Mapping, Optional
+
+
+class MetricsLogger:
+    def __init__(
+        self,
+        project: str,
+        run_dir: str = "runs",
+        config: Optional[Mapping[str, Any]] = None,
+        use_wandb: bool = True,
+        quiet: bool = False,
+    ):
+        self.project = project
+        self.run_dir = os.path.join(run_dir, project)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.quiet = quiet
+        self._t0 = time.time()
+        self._jsonl = open(os.path.join(self.run_dir, "metrics.jsonl"), "a")
+        if config:
+            with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+                json.dump(dict(config), f, indent=2, default=str)
+        self._wandb = None
+        if use_wandb and os.environ.get("WANDB_MODE", "") != "disabled":
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb.init(project=project, config=dict(config or {}))
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: Mapping[str, Any], step: Optional[int] = None) -> None:
+        scalars = {
+            k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()
+        }
+        record = {"t": round(time.time() - self._t0, 3), **scalars}
+        if step is not None:
+            record["step"] = int(step)
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        if not self.quiet:
+            parts = [
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in record.items()
+            ]
+            print(f"[{self.project}] " + " ".join(parts))
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+
+    def log_image(self, key: str, path: str, step: Optional[int] = None) -> None:
+        self.log({key: path}, step=step)
+        if self._wandb is not None:
+            try:
+                import wandb  # type: ignore
+
+                self._wandb.log({key: wandb.Image(path)}, step=step)
+            except Exception:
+                pass
+
+    def finish(self) -> None:
+        self._jsonl.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class Throughput:
+    """Rolling samples/sec counter (calls ``block_until_ready`` nowhere —
+    callers should sync before stopping the clock for honest numbers)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._start = time.perf_counter()
+        self._samples = 0
+
+    def add(self, n: int):
+        self._samples += n
+
+    @property
+    def samples_per_sec(self) -> float:
+        dt = time.perf_counter() - self._start
+        return self._samples / dt if dt > 0 else 0.0

@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers — the framework's parallelism layer.
+
+The reference is strictly single-device (SURVEY.md section 2.1: no
+torch.distributed / NCCL / DDP anywhere). The TPU-native equivalent is not a
+communication backend but a **named-axis device mesh**: batches are sharded
+over the ``data`` axis, parameters are replicated (or sharded over ``model``
+for tensor parallelism), and XLA inserts the all-reduces over ICI when the
+jitted train step computes gradients. Multi-host extends the same program
+over DCN via ``jax.distributed.initialize`` — no code changes in the step
+function.
+
+Axes:
+  - ``data``  — batch sharding (the working, tested axis; DP).
+  - ``model`` — optional tensor-parallel axis for param sharding; plumbed
+    through so TP/FSDP-style layouts are expressible. The reference's
+    capability surface never needs it (models are <30M params), so it
+    defaults to size 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axes: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a Mesh over (by default) all local devices.
+
+    With one axis, all devices go to that axis. With two axes and no shape,
+    devices go to ``data`` and ``model`` gets size 1.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axes) - 1)
+    assert int(np.prod(shape)) == len(devices), (
+        f"mesh shape {shape} != {len(devices)} devices"
+    )
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a batch-leading array: dim 0 split over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (params / optimizer state under pure DP)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Device-put a pytree of host arrays with the batch dim sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,260 @@
+"""Generic diffusion training machinery: one jitted SPMD step for every model.
+
+Reference skeleton (diffusion.py:214-236 and clones): per batch — sample
+``t ~ randint(0, T)``, ``q_sample``, model forward, ``mse(eps_hat, eps)``,
+Adam step. The reference re-implements this loop in every script; here it is
+one factory parameterized by the model.
+
+TPU-native design:
+- the WHOLE step (t-sampling, noising, forward, backward, optimizer update,
+  BN running-stat update) is a single jitted program — nothing touches the
+  host between batches except the next batch transfer;
+- the PRNG key lives in the train state and is split functionally each step;
+- the state is donated, so parameter/optimizer HBM is reused in place;
+- under a ``Mesh``, batches arrive sharded over the ``data`` axis and XLA
+  emits the gradient all-reduce over ICI automatically (SPMD semantics: the
+  jitted program is written exactly as the single-chip one).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinydiffusion_tpu.core.process import q_sample
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+
+
+@flax.struct.dataclass
+class DiffusionTrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    example_batch: Tuple[jnp.ndarray, ...],
+    rng: jax.Array,
+    init_kwargs: Optional[dict] = None,
+) -> DiffusionTrainState:
+    """Initialize params/batch_stats/opt_state from an example batch."""
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(init_rng, *example_batch, **(init_kwargs or {}))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return DiffusionTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    conditional: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step(state, x0[, y]) -> (state, loss)``. ``x0`` is NHWC (or
+    ``(B, D)`` latents); ``y`` is the conditioning tensor for conditional
+    models.
+    """
+
+    def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
+        rng, t_key, noise_key, drop_key = jax.random.split(state.rng, 4)
+        batch = x0.shape[0]
+        t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
+        x_t, noise = q_sample(schedule, x0, t, noise_key)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            args = (x_t, t, y) if conditional else (x_t, t)
+            out, mutated = model.apply(
+                variables, *args, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key},
+            )
+            loss = jnp.mean((out - noise) ** 2)
+            return loss, mutated.get("batch_stats", {})
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    n_in = 3 if conditional else 2
+    in_shardings = (repl,) + (data,) * (n_in - 1)
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=in_shardings,
+        out_shardings=(repl, repl),
+    )
+
+
+def make_latent_train_step(
+    vae_model,
+    model,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Train step for latent diffusion (latent_diffusion.py:201-224 skeleton).
+
+    The frozen VAE encode + reparameterize (done under ``no_grad`` per batch
+    in the reference, latent_diffusion.py:207-209) is folded INTO the jitted
+    step: gradients never flow into ``vae_params`` because they enter as a
+    non-differentiated argument, and XLA fuses the encode with the q_sample
+    and the denoiser forward — no separate host-visible stage.
+
+    Returns ``step(state, vae_params, x0, y) -> (state, loss)``.
+    """
+
+    def step_fn(state: DiffusionTrainState, vae_params, x0: jnp.ndarray, y):
+        rng, z_key, t_key, noise_key = jax.random.split(state.rng, 4)
+        batch = x0.shape[0]
+
+        mu, logvar = vae_model.apply(
+            {"params": vae_params}, x0, method=type(vae_model).encode
+        )
+        z0 = vae_model.apply(
+            {"params": vae_params},
+            mu,
+            logvar,
+            z_key,
+            method=type(vae_model).reparameterize,
+        )
+
+        t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
+        z_t, noise = q_sample(schedule, z0, t, noise_key)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, z_t, t, y, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            loss = jnp.mean((out - noise) ** 2)
+            return loss, mutated.get("batch_stats", {})
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_latent_eval_step(
+    vae_model,
+    model,
+    schedule: DiffusionSchedule,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Validation step for latent diffusion (latent_diffusion.py:231-249)."""
+
+    def step_fn(params, batch_stats, vae_params, x0, key, y):
+        z_key, t_key, noise_key = jax.random.split(key, 3)
+        batch = x0.shape[0]
+        mu, logvar = vae_model.apply(
+            {"params": vae_params}, x0, method=type(vae_model).encode
+        )
+        z0 = vae_model.apply(
+            {"params": vae_params}, mu, logvar, z_key,
+            method=type(vae_model).reparameterize,
+        )
+        t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
+        z_t, noise = q_sample(schedule, z0, t, noise_key)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          z_t, t, y, train=False)
+        return jnp.mean((out - noise) ** 2)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, data, repl, data),
+        out_shardings=repl,
+    )
+
+
+def make_eval_step(
+    model,
+    schedule: DiffusionSchedule,
+    conditional: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Jitted validation-loss step (eval-mode BN, no grads).
+
+    Mirrors the reference val pass (conditional_diffusion.py:274-292).
+    Takes an explicit key so validation is deterministic per epoch.
+    """
+
+    def step_fn(params, batch_stats, x0, key, y=None):
+        t_key, noise_key = jax.random.split(key)
+        batch = x0.shape[0]
+        t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
+        x_t, noise = q_sample(schedule, x0, t, noise_key)
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = (x_t, t, y) if conditional else (x_t, t)
+        out = model.apply(variables, *args, train=False)
+        return jnp.mean((out - noise) ** 2)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    # positional: (params, batch_stats, x0, key[, y])
+    if conditional:
+        in_shardings = (repl, repl, data, repl, data)
+    else:
+        in_shardings = (repl, repl, data, repl)
+    return jax.jit(step_fn, in_shardings=in_shardings, out_shardings=repl)
