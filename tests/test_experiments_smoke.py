@@ -1,0 +1,116 @@
+"""End-to-end smoke runs of every experiment at hermetic tiny configs on the
+8-device CPU mesh: each exercises data -> jitted train step -> val/checkpoint
+-> sampler -> PNG artifacts (SURVEY.md §4 integration tier)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_diffusion_smoke(tmp_path):
+    from tinydiffusion_tpu.experiments.diffusion import DiffusionConfig, run
+
+    cfg = DiffusionConfig(
+        num_epochs=1, batch_size=16, num_timesteps=20, time_dim=16,
+        n_samples=4, data_root=str(tmp_path / "data"),
+        out_dir=str(tmp_path / "out"), compute_dtype="float32",
+        max_steps_per_epoch=3, log_every=1,
+    )
+    result = run(cfg)
+    assert np.isfinite(result["losses"]).all()
+    assert os.path.exists(tmp_path / "out" / "generated_mnist_epoch_0.png")
+
+
+def test_conditional_diffusion_smoke(tmp_path):
+    from tinydiffusion_tpu.experiments.conditional_diffusion import (
+        ConditionalDiffusionConfig,
+        run,
+    )
+
+    cfg = ConditionalDiffusionConfig(
+        num_epochs=1, batch_size=16, num_timesteps=20, time_dim=16,
+        n_samples=4, data_root=str(tmp_path / "data"),
+        out_dir=str(tmp_path / "out"),
+        model_save_path=str(tmp_path / "ckpt" / "best"),
+        compute_dtype="float32", max_steps_per_epoch=3, log_every=1,
+    )
+    result = run(cfg)
+    assert len(result["val_losses"]) == 1
+    assert os.path.isdir(tmp_path / "ckpt" / "best")  # best-val Orbax dir
+    assert os.path.exists(tmp_path / "out" / "generated_digit_7.png")
+
+
+def test_vae_then_latent_diffusion_roundtrip(tmp_path):
+    """Two-stage artifact flow: vae checkpoint -> latent_diffusion consumes it
+    (latent_diffusion.py:418-434 contract)."""
+    from tinydiffusion_tpu.experiments.vae import VAEExperimentConfig, run as run_vae
+
+    vae_cfg = VAEExperimentConfig(
+        epochs=1, batch_size=32, data_root=str(tmp_path / "data"),
+        out_dir=str(tmp_path / "vae_out"),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_steps_per_epoch=3,
+    )
+    run_vae(vae_cfg)
+    assert os.path.isdir(tmp_path / "ckpt" / "vae_mnist_best")
+
+    from tinydiffusion_tpu.experiments.latent_diffusion import (
+        LatentDiffusionConfig,
+        run as run_latent,
+    )
+
+    for backbone in ["mlp_unet", "dit"]:
+        cfg = LatentDiffusionConfig(
+            backbone=backbone, num_epochs=1, batch_size=16, num_timesteps=20,
+            time_dim=32, n_samples=4, data_root=str(tmp_path / "data"),
+            out_dir=str(tmp_path / f"latent_out_{backbone}"),
+            vae_checkpoint=str(tmp_path / "ckpt" / "vae_mnist_best"),
+            model_save_path=str(tmp_path / "ckpt" / f"latent_{backbone}"),
+            compute_dtype="float32", max_steps_per_epoch=2,
+            sample_every_epoch=False,
+        )
+        result = run_latent(cfg)
+        assert np.isfinite(result["val_losses"]).all()
+        assert os.path.exists(
+            tmp_path / f"latent_out_{backbone}" / "generated_digit_7.png"
+        )
+
+
+@pytest.mark.slow
+def test_vae_laion_smoke(tmp_path):
+    from tinydiffusion_tpu.experiments.vae_laion import VAELaionConfig, run
+
+    cfg = VAELaionConfig(
+        epochs=1, batch_size=4, image_size=32, latent_dim=8, n_records=8,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        image_cache_dir=str(tmp_path / "cache"),
+        failed_urls_cache=str(tmp_path / "failed.json"),
+        max_steps_per_epoch=2, log_interval=1, use_flash_attention=False,
+    )
+    result = run(cfg)
+    assert np.isfinite(result["test_losses"]).all()
+    assert os.path.exists(tmp_path / "out" / "generated_samples.png")
+
+
+@pytest.mark.slow
+def test_conditional_diffusion_laion_smoke(tmp_path):
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        LaionDiffusionConfig,
+        run,
+    )
+
+    cfg = LaionDiffusionConfig(
+        num_epochs=1, batch_size=4, num_timesteps=10, image_size=64,
+        latent_size=32, n_records=10,
+        out_dir=str(tmp_path / "out"),
+        image_cache_dir=str(tmp_path / "cache"),
+        failed_urls_cache=str(tmp_path / "failed.json"),
+        model_save_path=str(tmp_path / "ckpt" / "best"),
+        compute_dtype="float32", max_steps_per_epoch=2,
+        sample_every_batches=0, sample_every_epoch=True, latent_codec="patch",
+        text_encoder="hash",
+    )
+    result = run(cfg)
+    assert np.isfinite(result["val_losses"]).all()
+    assert os.path.exists(tmp_path / "out" / "samples_epoch_0.png")

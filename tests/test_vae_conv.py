@@ -1,0 +1,117 @@
+"""Conv beta-VAE tests (vae_laion.py:50-230 parity surface): shapes, loss
+composition, spectral-norm/BN stat updates, attention contribution,
+train-ability at a small image size."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tinydiffusion_tpu.models.vae_conv import (
+    ConvVAE,
+    PerceptualNet,
+    SelfAttention2D,
+    conv_vae_loss,
+)
+
+SIZE = 32  # image_size//16 = 2 spatial at the bottleneck; CPU-friendly
+
+
+@pytest.fixture(scope="module")
+def vae():
+    model = ConvVAE(latent_dim=16, image_size=SIZE, use_flash_attention=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, SIZE, SIZE, 3)), jax.random.PRNGKey(1),
+        train=False,
+    )
+    return model, variables
+
+
+def test_encode_decode_shapes(vae):
+    model, variables = vae
+    x = jnp.zeros((2, SIZE, SIZE, 3))
+    recon, mu, logvar = model.apply(
+        variables, x, jax.random.PRNGKey(0), train=False
+    )
+    assert recon.shape == (2, SIZE, SIZE, 3)
+    assert mu.shape == (2, 16) and logvar.shape == (2, 16)
+    assert float(recon.min()) >= 0.0 and float(recon.max()) <= 1.0
+
+
+def test_spectral_norm_and_bn_stats_update(vae):
+    model, variables = vae
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
+    _, mutated = model.apply(
+        variables, x, jax.random.PRNGKey(0), train=True, mutable=["batch_stats"]
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = sum(
+        int(not np.allclose(np.asarray(a), np.asarray(b))) for a, b in zip(before, after)
+    )
+    assert changed > 0  # power-iteration u vectors and BN stats moved
+
+
+def test_attention_gamma_starts_at_zero():
+    """gamma init 0 => attention output == input at init (vae_laion.py:64-65)."""
+    attn = SelfAttention2D(use_flash=False)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 8, 16)), jnp.float32)
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    out = attn.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_loss_composition():
+    rng = np.random.default_rng(0)
+    recon = jnp.asarray(rng.uniform(0.01, 0.99, (2, 8, 8, 3)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((2, 4)), jnp.float32)
+    logvar = jnp.asarray(rng.standard_normal((2, 4)), jnp.float32)
+    rf = jnp.asarray(rng.standard_normal((2, 2, 2, 8)), jnp.float32)
+    tf = jnp.asarray(rng.standard_normal((2, 2, 2, 8)), jnp.float32)
+    total, comp = conv_vae_loss(recon, x, mu, logvar, rf, tf, beta=2.0)
+    # BCE(sum) + 0.1*perc(sum) + beta*KLD (vae_laion.py:205-230)
+    np.testing.assert_allclose(
+        float(total),
+        float(comp["bce"] + 0.1 * comp["perceptual"] + 2.0 * comp["kld"]),
+        rtol=1e-6,
+    )
+    assert float(comp["kld"]) > 0 or abs(float(comp["kld"])) < 100
+
+
+def test_conv_vae_trains(vae):
+    model, variables = vae
+    perceptual = PerceptualNet()
+    perc_params = perceptual.init(jax.random.PRNGKey(9), jnp.zeros((1, SIZE, SIZE, 3)))[
+        "params"
+    ]
+    tx = optax.adam(1e-3)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, SIZE, SIZE, 3)), jnp.float32)
+
+    @jax.jit
+    def step(params, stats, opt_state, key):
+        def loss_fn(p):
+            (recon, mu, logvar), mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, key, train=True,
+                mutable=["batch_stats"],
+            )
+            rf = perceptual.apply({"params": perc_params}, recon)
+            tf = perceptual.apply({"params": perc_params}, x)
+            total, _ = conv_vae_loss(recon, x, mu, logvar, rf, tf)
+            return total, mut["batch_stats"]
+
+        (loss, stats2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats2, opt2, loss
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        params, stats, opt_state, loss = step(params, stats, opt_state, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

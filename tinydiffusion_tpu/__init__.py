@@ -27,3 +27,16 @@ TPU-first design points (none of which exist in the reference):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: first compile of the UNet train step +
+# 1000-step sampler costs minutes on this host; every later process reuses
+# the compiled binaries. Opt out with TINYDIFF_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TINYDIFF_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.expanduser(
+        "~/.cache/tinydiffusion_tpu/xla_cache"
+    )
+    _os.makedirs(_os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)

@@ -1,0 +1,119 @@
+"""Latent image codec seam — parity with the reference's frozen SD-VAE usage.
+
+Reference (conditional_diffusion_laion.py:605-612, 460-461, 589): frozen
+Stable Diffusion v1.4 ``AutoencoderKL``; encode
+``vae.encode(x).latent_dist.sample() * scaling_factor`` -> (B, 4, 32, 32)
+latents from 256x256 images; decode ``vae.decode(x / scaling_factor).sample``.
+
+Offline substitute (``LinearPatchCodec``): SD weights are unreachable here,
+so the default codec is a fixed seeded orthonormal projection of 8x8x3
+patches to 4 channels (decode = transpose, an exact pseudo-inverse on the
+projected subspace), with the SD scaling factor 0.18215. It is linear and
+deterministic — NOT a learned VAE — but preserves every contract the
+pipeline relies on: (B,32,32,4) latents, frozen weights, the
+scaling-factor dance, and an honest decode for sample visualization. Swap
+``name="sd"`` when diffusers weights are reachable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+SD_SCALING_FACTOR = 0.18215
+
+
+class LinearPatchCodec:
+    """Fixed orthonormal patch projection codec (see module docstring)."""
+
+    def __init__(
+        self,
+        image_size: int = 256,
+        latent_size: int = 32,
+        latent_channels: int = 4,
+        channels: int = 3,
+        scaling_factor: float = SD_SCALING_FACTOR,
+        seed: int = 7,
+    ):
+        assert image_size % latent_size == 0
+        self.patch = image_size // latent_size
+        self.image_size = image_size
+        self.latent_size = latent_size
+        self.latent_channels = latent_channels
+        self.channels = channels
+        self.scaling_factor = scaling_factor
+        d = self.patch * self.patch * channels
+        g = np.random.default_rng(seed).standard_normal((d, d))
+        q, _ = np.linalg.qr(g)
+        # Orthonormal columns: W^T W = I_k, so decode = W @ z reconstructs the
+        # projected component exactly.
+        self.w = jnp.asarray(q[:, :latent_channels], jnp.float32)  # (d, k)
+
+    def _to_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        p, s = self.patch, self.latent_size
+        x = x.reshape(b, s, p, s, p, self.channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, s, s, p, p, C)
+        return x.reshape(b, s, s, p * p * self.channels)
+
+    def _from_patches(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b = patches.shape[0]
+        p, s = self.patch, self.latent_size
+        x = patches.reshape(b, s, s, p, p, self.channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, s * p, s * p, self.channels)
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) in [-1,1] -> (B, 32, 32, 4) scaled latents."""
+        patches = self._to_patches(images)
+        z = jnp.einsum("bhwd,dk->bhwk", patches, self.w)
+        return z * self.scaling_factor
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """(B, 32, 32, 4) scaled latents -> (B, H, W, 3) approx in [-1,1]."""
+        z = latents / self.scaling_factor
+        patches = jnp.einsum("bhwk,dk->bhwd", z, self.w)
+        return self._from_patches(patches)
+
+
+class SDVAECodec:
+    """diffusers AutoencoderKL — the reference path (needs weights)."""
+
+    def __init__(self, model_name: str = "CompVis/stable-diffusion-v1-4"):
+        import torch
+        from diffusers import AutoencoderKL  # type: ignore
+
+        self._torch = torch
+        self.vae = AutoencoderKL.from_pretrained(model_name, subfolder="vae").eval()
+        self.scaling_factor = self.vae.config.scaling_factor
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        torch = self._torch
+        x = torch.from_numpy(np.asarray(images)).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            latents = self.vae.encode(x).latent_dist.sample() * self.scaling_factor
+        return jnp.asarray(latents.permute(0, 2, 3, 1).numpy())
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        torch = self._torch
+        z = torch.from_numpy(np.asarray(latents)).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            images = self.vae.decode(z / self.scaling_factor).sample
+        return jnp.asarray(images.permute(0, 2, 3, 1).numpy())
+
+
+def get_latent_codec(name: str = "auto", image_size: int = 256):
+    """'sd' | 'patch' | 'auto' (sd if loadable, else the patch substitute)."""
+    if name == "patch":
+        return LinearPatchCodec(image_size=image_size)
+    if name == "sd":
+        return SDVAECodec()
+    try:
+        return SDVAECodec()
+    except Exception:
+        import logging
+
+        logging.getLogger("tinydiffusion.codec").warning(
+            "SD-VAE weights unavailable (offline) — using LinearPatchCodec substitute"
+        )
+        return LinearPatchCodec(image_size=image_size)

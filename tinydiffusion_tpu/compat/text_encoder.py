@@ -1,0 +1,99 @@
+"""Text conditioning — parity with the reference's CLIP usage plus an
+offline substitute.
+
+Reference (conditional_diffusion_laion.py:207-219, 608-611): CLIP ViT-L/14
+tokenizer + text encoder; the per-prompt embedding is
+``last_hidden_state[:, -1, :]`` — the LAST token only, 768-d, computed under
+no_grad.
+
+This environment has zero egress and no HF cache, so the default encoder is
+a deterministic hash-based substitute: each whitespace token maps to a fixed
+seeded Gaussian vector (md5 of the token seeds the RNG), and the text
+embedding is ``normalize(mean(token_vecs) + 0.5 * last_token_vec)`` — texts
+sharing words get nearby embeddings and the last token is emphasized to echo
+the reference's last-token pooling. It is a documented SUBSTITUTE, not CLIP:
+swap in ``name="clip"`` when the pretrained weights are reachable; every
+consumer goes through the same ``encode(texts) -> (B, dim) float32`` seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+import numpy as np
+
+
+class HashTextEncoder:
+    """Deterministic offline text embedder (see module docstring)."""
+
+    def __init__(self, dim: int = 768):
+        self.dim = dim
+        self._cache: dict = {}
+
+    def _token_vec(self, token: str) -> np.ndarray:
+        if token not in self._cache:
+            seed = int.from_bytes(
+                hashlib.md5(token.encode("utf-8")).digest()[:8], "little"
+            )
+            self._cache[token] = np.random.default_rng(seed).standard_normal(
+                self.dim
+            ).astype(np.float32)
+        return self._cache[token]
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            tokens = text.lower().split() or ["<empty>"]
+            vecs = np.stack([self._token_vec(t) for t in tokens])
+            emb = vecs.mean(0) + 0.5 * vecs[-1]  # last-token emphasis
+            out[i] = emb / max(np.linalg.norm(emb) / np.sqrt(self.dim), 1e-6)
+        return out
+
+
+class CLIPTextEncoder:
+    """transformers CLIP ViT-L/14, last-token pooling — the reference path
+    (conditional_diffusion_laion.py:207-219). Requires downloadable or
+    cached weights."""
+
+    def __init__(self, model_name: str = "openai/clip-vit-large-patch14"):
+        import torch
+        from transformers import CLIPTextModel, CLIPTokenizer
+
+        self._torch = torch
+        self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
+        self.model = CLIPTextModel.from_pretrained(model_name).eval()
+        self.dim = self.model.config.hidden_size
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        torch = self._torch
+        inputs = self.tokenizer(
+            list(texts),
+            padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            truncation=True,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            outputs = self.model(inputs.input_ids)
+            # LAST token only — faithful quirk (conditional_diffusion_laion.py:219).
+            embeds = outputs.last_hidden_state[:, -1, :]
+        return embeds.numpy().astype(np.float32)
+
+
+def get_text_encoder(name: str = "auto", dim: int = 768):
+    """'clip' | 'hash' | 'auto' (clip if loadable, else hash substitute)."""
+    if name == "hash":
+        return HashTextEncoder(dim)
+    if name == "clip":
+        return CLIPTextEncoder()
+    try:
+        return CLIPTextEncoder()
+    except Exception:
+        import logging
+
+        logging.getLogger("tinydiffusion.text").warning(
+            "CLIP weights unavailable (offline) — using deterministic hash "
+            "text-encoder substitute"
+        )
+        return HashTextEncoder(dim)

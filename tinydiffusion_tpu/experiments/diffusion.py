@@ -30,7 +30,7 @@ from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
 from tinydiffusion_tpu.models.unet28 import UNet28
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
-from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import create_train_state, make_train_step
 
 
@@ -77,7 +77,7 @@ def run(config: DiffusionConfig) -> dict:
     )
     state = create_train_state(model, tx, example, init_rng)
 
-    mesh = make_mesh(("data",)) if config.use_mesh else None
+    mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     train_step = make_train_step(model, tx, schedule, mesh=mesh)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), dtype=dtype

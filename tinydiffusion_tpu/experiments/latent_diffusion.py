@@ -40,7 +40,7 @@ from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
 from tinydiffusion_tpu.models.vae_mnist import VAEMnist
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
-from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import (
     create_train_state,
     make_latent_eval_step,
@@ -180,7 +180,13 @@ def run(config: LatentDiffusionConfig) -> dict:
     )
     state = create_train_state(model, tx, example, init_rng)
 
-    mesh = make_mesh(("data",)) if config.use_mesh else None
+    mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    if mesh is not None:
+        # The Orbax-restored VAE params live on a single device; replicate
+        # them over the mesh so they compose with the sharded train state.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        vae_params = jax.device_put(vae_params, NamedSharding(mesh, P()))
     train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
     eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
     sampler = make_latent_sampler(

@@ -28,7 +28,7 @@ from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.vae_mnist import VAEConfig, VAEMnist, vae_loss
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import MetricsLogger
-from tinydiffusion_tpu.parallel.mesh import make_mesh, shard_batch
+from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 
 
 @flax.struct.dataclass
@@ -117,7 +117,7 @@ def run(config: VAEExperimentConfig) -> dict:
         rng=state_rng,
     )
 
-    mesh = make_mesh(("data",)) if config.use_mesh else None
+    mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     train_step = make_vae_train_step(model, tx, mesh)
     eval_step = make_vae_eval_step(model, mesh)
 

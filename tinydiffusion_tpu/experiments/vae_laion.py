@@ -1,0 +1,279 @@
+"""Conv beta-VAE on LAION-style images — parity with reference vae_laion.py.
+
+Reference recipe (vae_laion.py:335-494): batch 4, Adam 1e-4, seed 42;
+skip all-zero batches (failed downloads, 346-350); per-epoch ``test()``
+pass with reconstruction panels and best-loss rich checkpoint (444-459);
+final 16-sample decode of z ~ N(0, I) (465-477).
+
+Deviations (deliberate, documented):
+- the reference's ``test()`` iterates ``train_loader`` (vae_laion.py:400-405),
+  i.e. "test" loss is train-set loss — a quirk SURVEY.md flags as
+  not-to-copy. We evaluate on a held-out 10% split.
+- perceptual loss uses the offline PerceptualNet substitute by default (no
+  VGG16 weights reachable) — same structure/scale, frozen, seeded.
+
+TPU-native: the whole step (encode w/ flash attention + spectral-norm power
+iteration + decode + BCE/perceptual/KLD loss + Adam) is one jitted program;
+spectral-norm u vectors and BN stats ride in ``batch_stats`` and are donated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.data.laion import (
+    LAIONImageTextDataset,
+    load_laion_dataset,
+    precache_dataset,
+)
+from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.io.checkpoint import BestKeeper
+from tinydiffusion_tpu.models.vae_conv import (
+    ConvVAE,
+    ConvVAEConfig,
+    PerceptualNet,
+    conv_vae_loss,
+)
+from tinydiffusion_tpu.obs.images import save_image_grid
+from tinydiffusion_tpu.obs.metrics import MetricsLogger
+from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+
+
+@flax.struct.dataclass
+class ConvVAETrainState:
+    step: jnp.ndarray
+    params: dict
+    batch_stats: dict
+    opt_state: dict
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class VAELaionConfig(ConvVAEConfig):
+    seed: int = 42  # vae_laion.py:46
+    n_records: int = 10_000
+    out_dir: str = "runs/vae_laion"
+    use_mesh: bool = True
+    use_flash_attention: bool = True
+    max_steps_per_epoch: int = 0
+    offline: bool = True
+
+
+def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
+                             tx, beta: float, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step_fn(state: ConvVAETrainState, x: jnp.ndarray):
+        rng, z_key = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            (recon, mu, logvar), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, z_key, train=True, mutable=["batch_stats"],
+            )
+            recon_img = recon.reshape(x.shape)
+            rf = perceptual.apply({"params": perc_params}, recon_img)
+            tf = perceptual.apply({"params": perc_params}, x)
+            total, components = conv_vae_loss(recon_img, x, mu, logvar, rf, tf, beta)
+            return total, (mutated["batch_stats"], components)
+
+        (loss, (new_stats, components)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, rng=rng,
+        )
+        return new_state, loss, components
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn, donate_argnums=0, in_shardings=(repl, data),
+        out_shardings=(repl, repl, repl),
+    )
+
+
+def make_conv_vae_eval_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
+                            beta: float, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step_fn(params, batch_stats, x, key):
+        recon, mu, logvar = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, key, train=False
+        )
+        recon_img = recon.reshape(x.shape)
+        rf = perceptual.apply({"params": perc_params}, recon_img)
+        tf = perceptual.apply({"params": perc_params}, x)
+        total, _ = conv_vae_loss(recon_img, x, mu, logvar, rf, tf, beta)
+        return total, recon_img
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, in_shardings=(repl, repl, data, repl),
+                   out_shardings=(repl, data))
+
+
+def load_images(config: VAELaionConfig) -> np.ndarray:
+    """Materialize the (cached) dataset as one array in [0,1]
+    (vae_laion transform: Resize + ToTensor, vae_laion.py:316-321)."""
+    records = load_laion_dataset(config.n_records, offline=config.offline)
+    ds = LAIONImageTextDataset(
+        records,
+        cache_dir=config.image_cache_dir,
+        failed_urls_cache=config.failed_urls_cache,
+        image_size=config.image_size,
+        normalize=False,
+        on_error="zero",
+    )
+    images = np.stack([ds[i][0] for i in range(len(ds))])
+    return images
+
+
+def run(config: VAELaionConfig) -> dict:
+    rng = jax.random.PRNGKey(config.seed)
+    model = ConvVAE(
+        latent_dim=config.latent_dim,
+        input_channels=config.input_channels,
+        image_size=config.image_size,
+        use_flash_attention=config.use_flash_attention,
+    )
+    perceptual = PerceptualNet()
+    # Deterministic frozen perceptual weights (offline VGG16 substitute).
+    perc_params = perceptual.init(
+        jax.random.PRNGKey(123),
+        jnp.zeros((1, config.image_size, config.image_size, 3)),
+    )["params"]
+
+    tx = optax.adam(config.learning_rate)
+
+    images = load_images(config)
+    n_val = max(len(images) // 10, 1)
+    val_images, train_images = images[:n_val], images[n_val:]
+    train_it = BatchIterator([train_images], config.batch_size, shuffle=True, seed=config.seed)
+    val_it = BatchIterator([val_images], config.batch_size, shuffle=False)
+
+    rng, init_rng, state_rng, z0 = jax.random.split(rng, 4)
+    variables = model.init(
+        init_rng,
+        jnp.zeros((2, config.image_size, config.image_size, 3)),
+        jax.random.PRNGKey(0),
+        train=False,
+    )
+    state = ConvVAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=state_rng,
+    )
+
+    mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    train_step = make_conv_vae_train_step(model, perceptual, perc_params, tx, config.beta, mesh)
+    eval_step = make_conv_vae_eval_step(model, perceptual, perc_params, config.beta, mesh)
+
+    logger = MetricsLogger("vae_laion", config.out_dir, dataclasses.asdict(config))
+    keeper = BestKeeper(f"{config.checkpoint_dir}/vae_laion_best")
+    result = {"test_losses": []}
+
+    for epoch in range(1, config.epochs + 1):
+        train_loss, n_seen = 0.0, 0
+        for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
+            if np.all(x == 0):  # failed-download batches (vae_laion.py:346-350)
+                print(f"Batch {batch_idx} contains all-zero images, skipping.")
+                continue
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+            state, loss, components = train_step(state, x)
+            train_loss += float(loss)
+            n_seen += len(x)
+            if batch_idx % config.log_interval == 0:
+                comp = {k: float(v) for k, v in components.items()}
+                if not all(np.isfinite(v) for v in comp.values()):
+                    # structured replacement for the reference's NaN print
+                    # (vae_laion.py:220-227)
+                    print(f"Loss components: {comp}")
+                logger.log(
+                    {"epoch": epoch, "batch": batch_idx,
+                     "batch_train_loss": float(loss) / max(len(x), 1), **comp}
+                )
+        avg_train = train_loss / max(n_seen, 1)
+
+        test_loss, n_test = 0.0, 0
+        for i, (x,) in enumerate(val_it.epoch()):
+            if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
+                break
+            if np.all(x == 0):
+                continue
+            key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 5), epoch * 1000 + i)
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+            loss, recon = eval_step(state.params, state.batch_stats, x, key)
+            test_loss += float(loss)
+            n_test += len(x)
+            if i == 0:
+                n_img = min(config.n_images_to_log, len(x))
+                panel = np.concatenate(
+                    [np.asarray(x[:n_img]), np.asarray(recon[:n_img])], axis=0
+                )
+                save_image_grid(
+                    panel,
+                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png",
+                    nrow=n_img, normalize=False,
+                )
+        if n_test == 0:
+            # Tiny configs can leave the 10% val split with zero full
+            # batches; fall back to train loss for the best-model policy
+            # rather than recording a spurious 0.
+            avg_test = avg_train
+        else:
+            avg_test = test_loss / n_test
+        result["test_losses"].append(avg_test)
+        logger.log({"epoch": epoch, "train_loss": avg_train, "test_loss": avg_test})
+        if keeper.update(avg_test, state, config=dataclasses.asdict(config), epoch=epoch):
+            print(f"Saved best model (epoch {epoch}, loss {avg_test:.4f})")
+
+    # Final samples (vae_laion.py:465-477).
+    rng, z_rng = jax.random.split(rng)
+    z = jax.random.normal(z_rng, (16, config.latent_dim))
+    samples = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        z, train=False, method=ConvVAE.decode,
+    )
+    save_image_grid(
+        np.asarray(samples), f"{config.out_dir}/generated_samples.png",
+        nrow=4, normalize=False,
+    )
+    result["state"] = state
+    logger.finish()
+    return result
+
+
+def main(argv=None):
+    import argparse
+
+    from tinydiffusion_tpu.experiments.common import add_config_flags, config_from_args
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_config_flags(parser, VAELaionConfig())
+    args = parser.parse_args(argv)
+    print(f"devices: {jax.devices()}")
+    run(config_from_args(VAELaionConfig, args))
+
+
+if __name__ == "__main__":
+    main()

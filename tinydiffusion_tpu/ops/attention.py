@@ -1,0 +1,278 @@
+"""Pallas flash attention (unscaled) for the conv-VAE's spatial self-attention.
+
+The reference computes dense ``softmax(Q K^T) V`` over H*W tokens in one bmm
+(vae_laion.py:58-63). At its largest site (128x128 feature map -> N=16384
+tokens) the N x N attention matrix is 1 GB fp32 *per image* — the memory hot
+spot called out in SURVEY.md §5. This kernel computes the same math without
+ever materializing N x N, using the online-softmax (flash) recursion blocked
+over keys, with a custom VJP whose backward recomputes probabilities
+blockwise from the saved row log-sum-exp.
+
+Semantics parity: logits are **unscaled** (no 1/sqrt(d)), exactly like the
+reference. Public shapes: q, k: (B, N, D); v: (B, N, C) -> out (B, N, C).
+
+TPU layout note (why everything is transposed internally): Mosaic pads the
+minor (lane) dimension of every VMEM buffer to 128 and the second-to-last
+(sublane) to 8. The VAE's head dims are tiny (D = C/8 can be 4), so (N, D)
+buffers would pad 4 -> 128 (32x) and a full-sequence K/V residency would
+blow past the 16 MB VMEM budget — and (N, 1) lse columns would pad to
+(N, 128). Internally ALL operands therefore live minor-dim-N: qt/kt
+(B, D, N), vt (B, C, N), out (B, C, N), lse/delta (B, 1, N); the attention
+tile is computed as s^T = (bk, bq). Zero relayouts, zero padding blowups.
+
+Dispatch:
+- small N or non-divisible block shapes -> dense einsum (XLA fuses this fine
+  and autodiff is free);
+- TPU + divisible N -> Pallas kernels;
+- non-TPU backends run the same kernels in interpreter mode so tests cover
+  the kernel logic on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
+_DENSE_N_THRESHOLD = 1024  # below this, dense attention is faster + simpler
+
+
+def _dense(q, k, v):
+    logits = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnm,bmc->bnc", attn.astype(v.dtype), v)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot(a, b, dims, precision=None):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+# Logit matmuls run at HIGHEST precision: the reference's logits are unscaled
+# (magnitudes ~ +-10 even at D=4), and exp() turns the default bf16 matmul's
+# ~1e-2 absolute logit error into ~2% attention-weight error. The contraction
+# depth is only D (4..16), so fp32 passes here are nearly free. Value-side
+# dots keep the default precision — their error does not get exponentiated.
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Forward: grid (B, N // block_q). Full-sequence kt/vt stay resident in VMEM
+# (largest site: N=16384, D=4, C=32 -> ~2.4 MB); the q block streams over key
+# blocks with the online-softmax recursion, all tiles kept minor-dim-N.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, *, block_k: int):
+    qt = qt_ref[0].astype(jnp.float32)  # (D, bq)
+    n = kt_ref.shape[-1]
+    bq = qt.shape[-1]
+    c = vt_ref.shape[1]
+
+    def body(j, carry):
+        acc_t, m, l = carry  # (C, bq), (1, bq), (1, bq)
+        kt = kt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (D, bk)
+        vt = vt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (C, bk)
+        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq) — unscaled logits^T
+        m_new = jnp.maximum(m, jnp.max(s_t, axis=0, keepdims=True))
+        p_t = jnp.exp(s_t - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p_t, axis=0, keepdims=True)
+        acc_new = alpha * acc_t + _dot(vt, p_t, ((1,), (0,)))  # (C, bq)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((c, bq), jnp.float32)
+    m0 = jnp.full((1, bq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((1, bq), jnp.float32)
+    acc_t, m, l = jax.lax.fori_loop(0, n // block_k, body, (acc0, m0, l0))
+    ot_ref[0] = (acc_t / l).astype(ot_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _fwd(qt, kt, vt, block_q: int, block_k: int):
+    b, d, n = qt.shape
+    c = vt.shape[1]
+    grid = (b, n // block_q)
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, n), qt.dtype),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(qt, kt, vt)
+    return out_t, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward. delta_i = sum_c dO_ic * O_ic (computed outside, cheap). p is
+# recomputed blockwise as exp(s - lse).
+#   dq_i = sum_j (p_ij * (dO_i v_j^T - delta_i)) k_j
+#   dk_j = sum_i (p_ij * (dO_i v_j^T - delta_i))^T q_i
+#   dv_j = sum_i p_ij^T dO_i
+# All tiles transposed: s_t (bk, bq); lse/delta rows (1, bq).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref, dqt_ref, *, block_k
+):
+    qt = qt_ref[0].astype(jnp.float32)  # (D, bq)
+    dot_blk = dot_ref[0].astype(jnp.float32)  # (C, bq)
+    lse = lse_ref[0]  # (1, bq)
+    delta = delta_ref[0]  # (1, bq)
+    n = kt_ref.shape[-1]
+    d, bq = qt.shape
+
+    def body(j, dqt):
+        kt = kt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (D, bk)
+        vt = vt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (C, bk)
+        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq)
+        p_t = jnp.exp(s_t - lse)
+        dp_t = _dot(vt, dot_blk, ((0,), (0,)))  # (bk, bq)
+        ds_t = p_t * (dp_t - delta)
+        return dqt + _dot(kt, ds_t, ((1,), (0,)))  # (D, bq)
+
+    dqt = jax.lax.fori_loop(0, n // block_k, body, jnp.zeros((d, bq), jnp.float32))
+    dqt_ref[0] = dqt.astype(dqt_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref, dkt_ref, dvt_ref, *, block_q
+):
+    kt = kt_ref[0].astype(jnp.float32)  # (D, bk)
+    vt = vt_ref[0].astype(jnp.float32)  # (C, bk)
+    n = qt_ref.shape[-1]
+    d, bk = kt.shape
+    c = vt.shape[0]
+
+    def body(i, carry):
+        dkt, dvt = carry
+        qt = qt_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)  # (D, bq)
+        dot_blk = dot_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
+        delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
+        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq)
+        p_t = jnp.exp(s_t - lse)
+        dvt_new = dvt + _dot(dot_blk, p_t, ((1,), (1,)))  # (C, bk)
+        dp_t = _dot(vt, dot_blk, ((0,), (0,)))  # (bk, bq)
+        ds_t = p_t * (dp_t - delta)
+        dkt_new = dkt + _dot(qt, ds_t, ((1,), (1,)))  # (D, bk)
+        return dkt_new, dvt_new
+
+    dk0 = jnp.zeros((d, bk), jnp.float32)
+    dv0 = jnp.zeros((c, bk), jnp.float32)
+    dkt, dvt = jax.lax.fori_loop(0, n // block_q, body, (dk0, dv0))
+    dkt_ref[0] = dkt.astype(dkt_ref.dtype)
+    dvt_ref[0] = dvt.astype(dvt_ref.dtype)
+
+
+def _bwd(block_q, block_k, residuals, g_t):
+    qt, kt, vt, out_t, lse = residuals
+    b, d, n = qt.shape
+    c = vt.shape[1]
+    delta = jnp.sum(
+        g_t.astype(jnp.float32) * out_t.astype(jnp.float32), axis=1, keepdims=True
+    )  # (B, 1, N)
+
+    dqt = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k),
+        grid=(b, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, d, n), qt.dtype),
+        interpret=_use_interpret(),
+    )(qt, kt, vt, g_t, lse, delta)
+
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q),
+        grid=(b, n // block_k),
+        in_specs=[
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, d, block_k), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, c, block_k), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_k), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, c, block_k), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d, n), kt.dtype),
+            jax.ShapeDtypeStruct((b, c, n), vt.dtype),
+        ],
+        interpret=_use_interpret(),
+    )(qt, kt, vt, g_t, lse, delta)
+    return dqt, dkt, dvt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_t(qt, kt, vt, block_q, block_k):
+    out_t, _ = _fwd(qt, kt, vt, block_q, block_k)
+    return out_t
+
+
+def _flash_t_fwd(qt, kt, vt, block_q, block_k):
+    out_t, lse = _fwd(qt, kt, vt, block_q, block_k)
+    return out_t, (qt, kt, vt, out_t, lse)
+
+
+_flash_t.defvjp(_flash_t_fwd, _bwd)
+
+
+def _flash(q, k, v, block_q, block_k):
+    """Public (B,N,*) layout -> transposed core -> (B,N,C) out."""
+    qt = jnp.swapaxes(q, -1, -2)
+    kt = jnp.swapaxes(k, -1, -2)
+    vt = jnp.swapaxes(v, -1, -2)
+    out_t = _flash_t(qt, kt, vt, block_q, block_k)
+    return jnp.swapaxes(out_t, -1, -2)
+
+
+def flash_attention_unscaled(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Unscaled softmax(q k^T) v without materializing the N x N matrix.
+
+    Falls back to dense attention for small or block-misaligned N (the
+    dense path is faster there and fully autodiff'd by XLA)."""
+    n = q.shape[1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    if n <= _DENSE_N_THRESHOLD or n % block_q or n % block_k:
+        return _dense(q, k, v)
+    return _flash(q, k, v, block_q, block_k)

@@ -46,6 +46,19 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes))
 
 
+def make_mesh_for_batch(batch_size: int, axes: Sequence[str] = ("data",)) -> Mesh:
+    """Mesh whose data axis divides ``batch_size``.
+
+    XLA batch sharding needs dim0 % n_devices == 0; small reference configs
+    (e.g. vae_laion's batch 4, vae_laion.py:30) may not cover every device —
+    use the largest device count that divides the batch (worst case 1)."""
+    import math
+
+    devices = jax.devices()
+    n = math.gcd(batch_size, len(devices))
+    return make_mesh(axes, shape=[n] + [1] * (len(axes) - 1), devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch-leading array: dim 0 split over ``axis``."""
     return NamedSharding(mesh, P(axis))
