@@ -112,6 +112,7 @@ def ddpm_denoising_trajectory(
     T/stride-step trajectory — and records x after every update. Returns an
     array of shape ``(T // stride, *shape)``.
     """
+    stride = min(stride, schedule.num_timesteps)
     key, init_key = jax.random.split(key)
     x = jax.random.normal(init_key, shape, dtype=dtype)
 

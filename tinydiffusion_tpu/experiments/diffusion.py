@@ -25,7 +25,7 @@ import optax
 
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 from tinydiffusion_tpu.data.loader import BatchIterator
-from tinydiffusion_tpu.data.mnist import load_mnist
+from tinydiffusion_tpu.data.mnist import MNIST_SCALE, MNIST_SHIFT, load_mnist_u8
 from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
 from tinydiffusion_tpu.models.unet28 import UNet28
 from tinydiffusion_tpu.obs.images import save_image_grid
@@ -51,6 +51,10 @@ class DiffusionConfig:
     use_mesh: bool = True
     log_every: int = 100
     sample_every_epoch: bool = True
+    # Render the coarse strided denoising trajectory after training
+    # (visualize_denoising_process parity, diffusion.py:321-348).
+    visualize_denoising: bool = True
+    denoising_stride: int = 100
     # Hermetic-mode knob for tests/CI: cap steps per epoch (None = full epoch).
     max_steps_per_epoch: int = 0  # 0 = unlimited
 
@@ -59,9 +63,13 @@ def run(config: DiffusionConfig) -> dict:
     dtype = resolve_dtype(config.compute_dtype)
     rng = jax.random.PRNGKey(config.seed)
 
-    images, _ = load_mnist(config.data_root, train=True)
+    # uint8 storage + native fused gather/normalize batch assembly
+    # (data/native.py); the dataset stays bytes on host, batches come out
+    # float32 in [-1,1] in one pass.
+    images_u8, _ = load_mnist_u8(config.data_root, train=True)
     data = BatchIterator(
-        [images], config.batch_size, shuffle=True, seed=config.seed
+        [images_u8], config.batch_size, shuffle=True, seed=config.seed,
+        u8_normalize=(MNIST_SCALE, MNIST_SHIFT),
     )
 
     schedule = DiffusionSchedule.linear(
@@ -127,6 +135,27 @@ def run(config: DiffusionConfig) -> dict:
             },
             step=step,
         )
+
+    if config.visualize_denoising:
+        # Coarse T/stride-step trajectory, one grid per recorded timestep
+        # (the reference renders each intermediate as its own figure,
+        # diffusion.py:344-348).
+        from tinydiffusion_tpu.experiments.common import make_trajectory_sampler
+
+        traj_fn = make_trajectory_sampler(
+            model, schedule, (4, 28, 28, 1), stride=config.denoising_stride,
+            dtype=dtype,
+        )
+        rng, t_rng = jax.random.split(rng)
+        trajectory = np.asarray(
+            jax.device_get(traj_fn(state.params, state.batch_stats, t_rng)),
+            np.float32,
+        )
+        for i, frame in enumerate((trajectory + 1) / 2):
+            t_label = config.num_timesteps - i * config.denoising_stride
+            save_image_grid(
+                frame, f"{config.out_dir}/denoising_t{t_label}.png", nrow=2
+            )
 
     result["state"] = state
     logger.finish()
