@@ -16,10 +16,12 @@ def test_diffusion_smoke(tmp_path):
         n_samples=4, data_root=str(tmp_path / "data"),
         out_dir=str(tmp_path / "out"), compute_dtype="float32",
         max_steps_per_epoch=3, log_every=1,
+        checkpoint_path=str(tmp_path / "ckpt" / "final"),
     )
     result = run(cfg)
     assert np.isfinite(result["losses"]).all()
     assert os.path.exists(tmp_path / "out" / "generated_mnist_epoch_0.png")
+    assert os.path.isdir(tmp_path / "ckpt" / "final")
 
 
 def test_conditional_diffusion_smoke(tmp_path):

@@ -55,6 +55,12 @@ class DiffusionConfig:
     # (visualize_denoising_process parity, diffusion.py:321-348).
     visualize_denoising: bool = True
     denoising_stride: int = 100
+    # The reference diffusion.py never checkpoints; we save the final state
+    # (full resumable pytree) unless disabled.
+    checkpoint_path: str = "checkpoints/diffusion_final"
+    # Sampling dtype; fp32 by default — a 1000-step bf16 chain accumulates
+    # rounding that visibly degrades sample quality late in training.
+    sample_dtype: str = "float32"
     # Hermetic-mode knob for tests/CI: cap steps per epoch (None = full epoch).
     max_steps_per_epoch: int = 0  # 0 = unlimited
 
@@ -87,8 +93,9 @@ def run(config: DiffusionConfig) -> dict:
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     train_step = make_train_step(model, tx, schedule, mesh=mesh)
+    sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
-        model, schedule, (config.n_samples, 28, 28, 1), dtype=dtype
+        model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype
     )
 
     logger = MetricsLogger("diffusion", config.out_dir, dataclasses.asdict(config))
@@ -144,7 +151,7 @@ def run(config: DiffusionConfig) -> dict:
 
         traj_fn = make_trajectory_sampler(
             model, schedule, (4, 28, 28, 1), stride=config.denoising_stride,
-            dtype=dtype,
+            dtype=sample_dtype,
         )
         rng, t_rng = jax.random.split(rng)
         trajectory = np.asarray(
@@ -156,6 +163,13 @@ def run(config: DiffusionConfig) -> dict:
             save_image_grid(
                 frame, f"{config.out_dir}/denoising_t{t_label}.png", nrow=2
             )
+
+    if config.checkpoint_path:
+        from tinydiffusion_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            config.checkpoint_path, state, config=dataclasses.asdict(config)
+        )
 
     result["state"] = state
     logger.finish()

@@ -73,3 +73,47 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """Device-put a pytree of host arrays with the batch dim sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def infer_state_sharding(state: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """Tensor-parallel sharding rule for a train-state pytree.
+
+    Shards every float array whose LAST dimension (output features for Dense
+    kernels, conv output channels, embedding width, biases, BN params, and —
+    because optimizer moments mirror param shapes — Adam mu/nu) divides the
+    ``model`` axis size; everything else (scalars, PRNG keys, odd shapes like
+    the UNet's 1-channel head) replicates. XLA/GSPMD then propagates the
+    layouts through the step function and inserts the ICI collectives.
+
+    The reference has no model parallelism at all (SURVEY.md §2.1); this is
+    the expressible-by-design axis — DP remains the primary working axis for
+    the reference-scale models.
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), state)
+    msize = mesh.shape[axis]
+
+    def rule(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and jnp_issubdtype_inexact(leaf)
+            and leaf.shape[-1] >= msize
+            and leaf.shape[-1] % msize == 0
+        ):
+            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, state)
+
+
+def jnp_issubdtype_inexact(leaf) -> bool:
+    try:
+        return np.issubdtype(leaf.dtype, np.inexact)
+    except Exception:
+        return False
+
+
+def apply_sharding(tree: Any, shardings: Any) -> Any:
+    """device_put a pytree onto per-leaf shardings (same structure)."""
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -66,12 +66,19 @@ def make_train_step(
     schedule: DiffusionSchedule,
     conditional: bool = False,
     mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns ``step(state, x0[, y]) -> (state, loss)``. ``x0`` is NHWC (or
     ``(B, D)`` latents); ``y`` is the conditioning tensor for conditional
     models.
+
+    ``state_sharding`` (optional, requires ``mesh``): per-leaf NamedShardings
+    for the train state — pass ``parallel.mesh.infer_state_sharding(state,
+    mesh, "model")`` to run tensor-parallel over the ``model`` axis (params,
+    BN stats, and optimizer moments sharded on their feature dim; XLA
+    propagates the activation layouts and inserts the collectives).
     """
 
     def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
@@ -109,13 +116,14 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_in = state_sharding if state_sharding is not None else repl
     n_in = 3 if conditional else 2
-    in_shardings = (repl,) + (data,) * (n_in - 1)
+    in_shardings = (state_in,) + (data,) * (n_in - 1)
     return jax.jit(
         step_fn,
         donate_argnums=0,
         in_shardings=in_shardings,
-        out_shardings=(repl, repl),
+        out_shardings=(state_in, repl),
     )
 
 
