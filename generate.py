@@ -1,0 +1,85 @@
+"""Inference entry point: sample images from a trained checkpoint.
+
+The reference has no serving layer — its ``sample()`` functions are only
+reachable from inside training scripts (SURVEY.md §3.5). This CLI is the
+standalone generation path: load an Orbax checkpoint produced by any of the
+pixel-space experiments and run the compiled 1000-step chain.
+
+  python generate.py --checkpoint checkpoints/diffusion_final --n 64 --out samples.png
+  python generate.py --checkpoint checkpoints/conditional_diffusion_best --digit 7
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--n", type=int, default=16)
+    parser.add_argument("--out", default="generated.png")
+    parser.add_argument("--digit", type=int, default=None,
+                        help="class label (conditional checkpoints only)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num-timesteps", type=int, default=1000)
+    parser.add_argument("--sample-dtype", default="float32")
+    args = parser.parse_args(argv)
+
+    import optax
+
+    from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+    from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
+    from tinydiffusion_tpu.io.checkpoint import load_sidecar, restore_checkpoint
+    from tinydiffusion_tpu.models.unet28 import UNet28
+    from tinydiffusion_tpu.obs.images import save_image_grid
+    from tinydiffusion_tpu.train.trainer import create_train_state
+
+    sidecar = load_sidecar(args.checkpoint)
+    cfg = sidecar.get("config", {})
+    num_classes = int(cfg["num_classes"]) if "num_classes" in cfg else None
+    conditional = num_classes is not None
+    time_dim = int(cfg.get("time_dim", 256))
+    T = int(cfg.get("num_timesteps", args.num_timesteps))
+
+    model = UNet28(time_dim=time_dim, num_classes=num_classes, dtype=jnp.bfloat16)
+    batch = int(cfg.get("batch_size", 128))
+    example = [jnp.zeros((batch, 28, 28, 1)), jnp.zeros((batch,), jnp.int32)]
+    if conditional:
+        example.append(jnp.zeros((batch,), jnp.int32))
+    template = create_train_state(
+        model, optax.adam(1e-3), tuple(example), jax.random.PRNGKey(0)
+    )
+    state = restore_checkpoint(args.checkpoint, template)
+    print(f"loaded {args.checkpoint} (step {int(state.step)})")
+
+    schedule = DiffusionSchedule.linear(T)
+    sampler = make_sampler(
+        model, schedule, (args.n, 28, 28, 1), conditional=conditional,
+        dtype=resolve_dtype(args.sample_dtype),
+    )
+    key = jax.random.PRNGKey(args.seed)
+    labels = None
+    if conditional:
+        if args.digit is not None:
+            y = jnp.full((args.n,), args.digit, jnp.int32)
+        else:
+            key, y_key = jax.random.split(key)
+            y = jax.random.randint(y_key, (args.n,), 0, num_classes)
+        labels = np.asarray(y)
+        samples = sampler(state.params, state.batch_stats, key, y=y)
+    else:
+        samples = sampler(state.params, state.batch_stats, key)
+
+    images = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
+    nrow = max(int(np.sqrt(args.n)), 1)
+    save_image_grid(images, args.out, nrow=nrow, labels=labels)
+    print(f"wrote {args.n} samples to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,14 +31,15 @@ from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def _reverse_step(
+def _reverse_step_with_noise(
     schedule: DiffusionSchedule,
     apply_fn: DenoiseFn,
     x: jnp.ndarray,
     t: jnp.ndarray,
-    key: jax.Array,
+    z: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One reverse-diffusion update at (scalar, traced) timestep t."""
+    """One reverse-diffusion update at (scalar, traced) timestep t, with the
+    step noise ``z`` supplied by the caller."""
     batch = x.shape[0]
     t_vec = jnp.full((batch,), t, dtype=jnp.int32)
     eps_hat = apply_fn(x, t_vec).astype(x.dtype)
@@ -47,7 +48,6 @@ def _reverse_step(
     abar = schedule.alphas_cumprod[t]
     beta = schedule.betas[t]
 
-    z = jax.random.normal(key, x.shape, dtype=x.dtype)
     # t == 0 adds no noise (diffusion.py:267-270); a select keeps the scan
     # body branch-free.
     z = jnp.where(t > 0, z, jnp.zeros_like(z))
@@ -58,6 +58,18 @@ def _reverse_step(
     return mean + jnp.sqrt(beta).astype(x.dtype) * z
 
 
+def _reverse_step(
+    schedule: DiffusionSchedule,
+    apply_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """One reverse-diffusion update at (scalar, traced) timestep t."""
+    z = jax.random.normal(key, x.shape, dtype=x.dtype)
+    return _reverse_step_with_noise(schedule, apply_fn, x, t, z)
+
+
 def ddpm_sample(
     apply_fn: DenoiseFn,
     schedule: DiffusionSchedule,
@@ -65,6 +77,7 @@ def ddpm_sample(
     key: jax.Array,
     dtype=jnp.float32,
     x_init: jnp.ndarray | None = None,
+    noise_stream: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling chain as one ``lax.scan``.
 
@@ -75,6 +88,10 @@ def ddpm_sample(
       key: PRNG key; split internally for init noise and every step.
       x_init: optional starting noise (parity-test seam; overrides the
         internally drawn ``N(0, I)`` init).
+      noise_stream: optional pre-drawn per-step noise of shape
+        ``(T, *shape)``, indexed in scan order (step 0 = timestep T-1).
+        The replay seam for the BASELINE acceptance criterion: identical
+        weights + identical noise => images match the torch reference.
 
     Returns:
       x_0 samples of ``shape``.
@@ -86,13 +103,25 @@ def ddpm_sample(
         else jax.random.normal(init_key, shape, dtype=dtype)
     )
 
+    timesteps = jnp.arange(schedule.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+
+    if noise_stream is not None:
+
+        def body_replay(carry, inputs):
+            x, = carry
+            t, z = inputs
+            x = _reverse_step_with_noise(schedule, apply_fn, x, t, z.astype(dtype))
+            return (x,), None
+
+        (x,), _ = jax.lax.scan(body_replay, (x,), (timesteps, noise_stream))
+        return x
+
     def body(carry, t):
         x, key = carry
         key, step_key = jax.random.split(key)
         x = _reverse_step(schedule, apply_fn, x, t, step_key)
         return (x, key), None
 
-    timesteps = jnp.arange(schedule.num_timesteps - 1, -1, -1, dtype=jnp.int32)
     (x, _), _ = jax.lax.scan(body, (x, key), timesteps)
     return x
 
