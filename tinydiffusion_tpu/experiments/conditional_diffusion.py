@@ -53,6 +53,8 @@ class ConditionalDiffusionConfig:
     out_dir: str = "runs/conditional_diffusion"
     model_save_path: str = "checkpoints/conditional_diffusion_best"
     compute_dtype: str = "bfloat16"
+    # fp32 sampling: a 1000-step bf16 chain visibly degrades samples.
+    sample_dtype: str = "float32"
     use_mesh: bool = True
     log_every: int = 100
     sample_every_epoch: bool = True
@@ -88,7 +90,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     train_step = make_train_step(model, tx, schedule, conditional=True, mesh=mesh)
     eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh)
     sampler = make_sampler(
-        model, schedule, (config.n_samples, 28, 28, 1), conditional=True, dtype=dtype
+        model, schedule, (config.n_samples, 28, 28, 1), conditional=True,
+        dtype=resolve_dtype(config.sample_dtype),
     )
 
     logger = MetricsLogger(

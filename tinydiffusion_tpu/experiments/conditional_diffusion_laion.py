@@ -74,6 +74,8 @@ class LaionDiffusionConfig:
     text_encoder: str = "auto"  # 'clip' | 'hash' | 'auto'
     latent_codec: str = "auto"  # 'sd' | 'patch' | 'auto'
     compute_dtype: str = "bfloat16"
+    # fp32 sampling: a 1000-step bf16 chain visibly degrades samples.
+    sample_dtype: str = "float32"
     use_mesh: bool = True
     log_every: int = 10
     sample_every_batches: int = 100
@@ -251,7 +253,7 @@ def run(config: LaionDiffusionConfig) -> dict:
     eval_step = make_laion_eval_step(model, schedule, codec, mesh)
     sampler = make_laion_sampler(
         model, schedule, codec, len(SAMPLE_PROMPTS), config.latent_size,
-        config.latent_channels, dtype,
+        config.latent_channels, resolve_dtype(config.sample_dtype),
     )
     sample_embeds = jnp.asarray(text_encoder.encode(SAMPLE_PROMPTS))
 

@@ -66,6 +66,12 @@ class LatentDiffusionConfig:
     vae_checkpoint: str = "checkpoints/vae_mnist_best"
     model_save_path: str = "checkpoints/latent_diffusion_best"
     compute_dtype: str = "bfloat16"
+    # fp32 sampling: a 1000-step bf16 chain visibly degrades samples.
+    sample_dtype: str = "float32"
+    # Decoded coarse denoising trajectory after training
+    # (latent visualize_denoising_process parity, latent_diffusion.py:378-415).
+    visualize_denoising: bool = True
+    denoising_stride: int = 100
     use_mesh: bool = True
     log_every: int = 100
     sample_every_epoch: bool = True
@@ -121,6 +127,35 @@ def build_denoiser(config: LatentDiffusionConfig, latent_dim: int, dtype):
         latent_dim=latent_dim,
         dtype=dtype,
     )
+
+
+def make_latent_trajectory_sampler(
+    vae_model, model, schedule, n_samples, latent_dim, stride, dtype
+):
+    """Coarse strided latent trajectory with per-step decode
+    (latent_diffusion.py:378-415: the reference decodes every intermediate)."""
+    from tinydiffusion_tpu.core.sampler import ddpm_denoising_trajectory
+
+    @jax.jit
+    def traj_fn(params, batch_stats, vae_params, key, y):
+        def apply_fn(z, t_vec):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, z, t_vec, y,
+                train=False,
+            )
+
+        traj = ddpm_denoising_trajectory(
+            apply_fn, schedule, (n_samples, latent_dim), key, stride=stride,
+            dtype=dtype,
+        )  # (steps, n, latent)
+        steps = traj.shape[0]
+        decoded = vae_model.apply(
+            {"params": vae_params}, traj.reshape(-1, latent_dim),
+            method=VAEMnist.decode,
+        )
+        return decoded.reshape(steps, n_samples, 28, 28, 1)
+
+    return traj_fn
 
 
 def make_latent_sampler(vae_model, model, schedule, n_samples, latent_dim, dtype):
@@ -190,7 +225,8 @@ def run(config: LatentDiffusionConfig) -> dict:
     train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
     eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
     sampler = make_latent_sampler(
-        vae_model, model, schedule, config.n_samples, latent_dim, dtype
+        vae_model, model, schedule, config.n_samples, latent_dim,
+        resolve_dtype(config.sample_dtype),
     )
 
     project = (
@@ -262,6 +298,25 @@ def run(config: LatentDiffusionConfig) -> dict:
             save_image_grid(
                 x, f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", nrow=4,
                 labels=np.asarray(y_sample),
+            )
+
+    if config.visualize_denoising:
+        traj_fn = make_latent_trajectory_sampler(
+            vae_model, model, schedule, 4, latent_dim,
+            config.denoising_stride, resolve_dtype(config.sample_dtype),
+        )
+        rng, t_rng, ty_rng = jax.random.split(rng, 3)
+        y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)
+        traj = np.asarray(
+            jax.device_get(
+                traj_fn(state.params, state.batch_stats, vae_params, t_rng, y_traj)
+            ),
+            np.float32,
+        )
+        for i, frame in enumerate((traj + 1) / 2):  # faithful (x+1)/2 quirk
+            t_label = config.num_timesteps - i * config.denoising_stride
+            save_image_grid(
+                frame, f"{config.out_dir}/denoising_t{t_label}.png", nrow=2
             )
 
     # Final digit-7 grid (latent_diffusion.py:450-456).
