@@ -185,6 +185,9 @@ def main(argv=None):
     add_config_flags(parser, DiffusionConfig())
     args = parser.parse_args(argv)
     config = config_from_args(DiffusionConfig, args)
+    from tinydiffusion_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     print(f"devices: {jax.devices()}")
     run(config)
 

@@ -271,6 +271,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_config_flags(parser, VAELaionConfig())
     args = parser.parse_args(argv)
+    from tinydiffusion_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     print(f"devices: {jax.devices()}")
     run(config_from_args(VAELaionConfig, args))
 
