@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from tinydiffusion_tpu.obs.profiling import force
+
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 from tinydiffusion_tpu.experiments.common import make_sampler
 from tinydiffusion_tpu.models.unet28 import UNet28
@@ -55,14 +57,16 @@ def main():
     if mesh is not None:
         x0 = shard_batch(mesh, x0)
 
-    # Warmup (compile) then timed steps.
+    # Warmup (compile) then timed steps. The donated-state chain makes the
+    # final loss depend on every step; force() fetches it to host — the only
+    # real completion fence on this backend (see obs/profiling.force).
     for _ in range(5):
         state, loss = train_step(state, x0)
-    jax.block_until_ready(loss)
+    force(loss)
     t0 = time.perf_counter()
     for _ in range(TRAIN_STEPS):
         state, loss = train_step(state, x0)
-    jax.block_until_ready(loss)
+    force(loss)
     train_dt = time.perf_counter() - t0
     n_chips = len(jax.devices())
     train_sps_per_chip = TRAIN_STEPS * BATCH / train_dt / n_chips
@@ -82,11 +86,11 @@ def main():
         xbig = shard_batch(mesh, xbig)
     for _ in range(3):
         state_big, loss_big = train_step(state_big, xbig)
-    jax.block_until_ready(loss_big)
+    force(loss_big)
     t0 = time.perf_counter()
     for _ in range(10):
         state_big, loss_big = train_step(state_big, xbig)
-    jax.block_until_ready(loss_big)
+    force(loss_big)
     big_sps = 10 * BIG / (time.perf_counter() - t0) / n_chips
 
     # Full 1000-step on-device sampling chain (reference recipe: 16 images).
@@ -94,20 +98,20 @@ def main():
         model, schedule, (N_SAMPLE_IMAGES, 28, 28, 1), dtype=jnp.bfloat16
     )
     out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)  # compile
+    force(out)  # compile + real completion
     t0 = time.perf_counter()
     out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    force(out)
     sample_dt = time.perf_counter() - t0
     images_per_sec = N_SAMPLE_IMAGES / sample_dt
 
     # Batched sampling throughput (serving-style, 128 images per chain).
     sampler128 = make_sampler(model, schedule, (128, 28, 28, 1), dtype=jnp.bfloat16)
     out = sampler128(state.params, state.batch_stats, jax.random.PRNGKey(4))
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     out = sampler128(state.params, state.batch_stats, jax.random.PRNGKey(5))
-    jax.block_until_ready(out)
+    force(out)
     images_per_sec_b128 = 128 / (time.perf_counter() - t0)
 
     vs_baseline = (

@@ -19,7 +19,7 @@ consumer goes through the same ``encode(texts) -> (B, dim) float32`` seam.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

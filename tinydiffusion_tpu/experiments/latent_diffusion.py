@@ -95,7 +95,6 @@ def load_vae(config: LatentDiffusionConfig):
             input_dim=int(vae_cfg.get("input_dim", 784)),
         )
         # Restore only the params subtree of the saved full train state.
-        import flax.struct
 
         from tinydiffusion_tpu.experiments.vae import VAETrainState
 

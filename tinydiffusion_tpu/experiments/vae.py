@@ -14,7 +14,6 @@ the JSON sidecar — same round-trip contract (latent_diffusion.py:422-430).
 from __future__ import annotations
 
 import dataclasses
-import time
 
 import flax.struct
 import jax

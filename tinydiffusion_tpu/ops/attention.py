@@ -26,6 +26,14 @@ Dispatch:
 - TPU + divisible N -> Pallas kernels;
 - non-TPU backends run the same kernels in interpreter mode so tests cover
   the kernel logic on CPU.
+
+Measured on TPU v5e at the big site (N=16384, D=4, C=32, B=4; fenced with
+obs/profiling.force): forward-only dense is ~1.4x faster than flash (the
+dense path is HBM-bound and XLA pipelines it well; flash pays fp32 logit
+passes) — but for TRAINING flash wins ~1.4x (62.5 vs 87.8 ms fwd+bwd) and
+avoids ~8 GB of stored N^2 softmax residuals, which is what makes batch-4
+256x256 conv-VAE training fit at all. Flash is therefore the default above
+the dense threshold.
 """
 
 from __future__ import annotations

@@ -17,7 +17,6 @@ replay paths keep the jax.random path.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +34,11 @@ _TWO_PI = 2.0 * np.pi
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> uniform (0, 1]: use the top 24 bits, never exactly 0."""
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    """uint32 -> uniform (0, 1]: use the top 24 bits, never exactly 0.
+
+    Mosaic has no uint32->f32 cast; after >>8 the value fits in int32's
+    positive range, so route through int32."""
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
     return u + 1.0 / 33554432.0  # offset keeps log() finite
 
 
@@ -51,9 +53,11 @@ def _qsample_kernel(seed_ref, t_ref, x0_ref, sac_ref, s1m_ref, xt_ref, noise_ref
     # Box-Muller
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
-    t = t_ref[0]
-    sac = sac_ref[0, t]  # sqrt(alphas_cumprod[t])
-    s1m = s1m_ref[0, t]  # sqrt(1 - alphas_cumprod[t])
+    t = t_ref[i]  # full t vector lives in SMEM; index by program id
+    # schedule tables live in SMEM: dynamic scalar gathers from VMEM would
+    # need 128-aligned indices, SMEM indexes freely
+    sac = sac_ref[t]  # sqrt(alphas_cumprod[t])
+    s1m = s1m_ref[t]  # sqrt(1 - alphas_cumprod[t])
     noise_ref[0] = z
     xt_ref[0] = sac * x0 + s1m * z
 
@@ -86,8 +90,8 @@ def q_sample_fused(
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     t_arr = t.astype(jnp.int32)
     tables = (
-        schedule.sqrt_alphas_cumprod.astype(jnp.float32)[None, :],
-        schedule.sqrt_one_minus_alphas_cumprod.astype(jnp.float32)[None, :],
+        schedule.sqrt_alphas_cumprod.astype(jnp.float32),
+        schedule.sqrt_one_minus_alphas_cumprod.astype(jnp.float32),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -95,10 +99,10 @@ def q_sample_fused(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),  # t row
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full t vector (B,)
             pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, schedule.num_timesteps), lambda i: (0, 0)),
-            pl.BlockSpec((1, schedule.num_timesteps), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sqrt(abar) table (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sqrt(1-abar) table (T,)
         ],
         out_specs=[
             pl.BlockSpec((1, rows, cols), lambda i: (i, 0, 0)),
