@@ -106,3 +106,22 @@ def test_latent_train_step_decreases_loss(model_cls):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_dit_patchified_tokens():
+    """num_tokens > 1: the TPU-first generalization of the reference's
+    degenerate seq-len-1 attention (BASELINE.json: patchified latents)."""
+    model = DiT(num_tokens=4, latent_dim=LATENT)  # 4 tokens x 5 dims
+    args = _latent_args()
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    assert variables["params"]["pos_encoding"].shape == (1, 4, 256)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, LATENT)), jnp.float32)
+    out = model.apply(variables, x, jnp.full((B,), 5, jnp.int32),
+                      jnp.zeros((B,), jnp.int32), train=False)
+    assert out.shape == (B, LATENT)
+    # with 4 tokens, attention is non-degenerate: permuting latent groups
+    # changes the output nontrivially
+    x_perm = x.reshape(B, 4, 5)[:, [1, 0, 3, 2], :].reshape(B, LATENT)
+    out_perm = model.apply(variables, x_perm, jnp.full((B,), 5, jnp.int32),
+                           jnp.zeros((B,), jnp.int32), train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out_perm))
