@@ -196,6 +196,7 @@ def run(config: LaionDiffusionConfig) -> dict:
         records, cache_dir=config.image_cache_dir,
         failed_urls_cache=config.failed_urls_cache,
         image_size=config.image_size, normalize=True, on_error="raise",
+        as_uint8=True,  # batch-time normalize via the native fused loader
     )
     valid = precache_dataset(ds)
     if not valid:
@@ -210,10 +211,12 @@ def run(config: LaionDiffusionConfig) -> dict:
     perm = np.random.default_rng(config.split_seed).permutation(len(images))
     n_val = len(images) // 5
     val_idx, train_idx = perm[:n_val], perm[n_val:]
+    u8 = (2.0 / 255.0, -1.0)  # ToTensor + Normalize(0.5x3): [-1, 1]
     train_it = BatchIterator([images[train_idx], embeds[train_idx]],
-                             config.batch_size, shuffle=True, seed=config.seed)
+                             config.batch_size, shuffle=True, seed=config.seed,
+                             u8_normalize=u8)
     val_it = BatchIterator([images[val_idx], embeds[val_idx]],
-                           config.batch_size, shuffle=False)
+                           config.batch_size, shuffle=False, u8_normalize=u8)
 
     schedule = DiffusionSchedule.linear(config.num_timesteps)
     model = LatentUNet(time_dim=config.time_dim,
