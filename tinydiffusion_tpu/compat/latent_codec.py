@@ -75,6 +75,18 @@ class LinearPatchCodec:
         patches = jnp.einsum("bhwk,dk->bhwd", z, self.w)
         return self._from_patches(patches)
 
+    def calibrate(self, images: jnp.ndarray) -> float:
+        """Set the scaling factor so latents are unit-variance over ``images``
+        — the same reason SD's AutoencoderKL ships scaling_factor 0.18215:
+        DDPM's noise schedule assumes x_0 at roughly unit scale, and badly
+        scaled latents skew the effective SNR at every timestep."""
+        import numpy as np
+
+        z = self.encode(images) / self.scaling_factor  # unscaled latents
+        std = float(np.asarray(z).std())
+        self.scaling_factor = 1.0 / max(std, 1e-6)
+        return self.scaling_factor
+
 
 class SDVAECodec:
     """diffusers AutoencoderKL — the reference path (needs weights)."""

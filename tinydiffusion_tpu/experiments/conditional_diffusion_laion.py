@@ -208,6 +208,14 @@ def run(config: LaionDiffusionConfig) -> dict:
     texts = [t for _, t in items]
     embeds = text_encoder.encode(texts).astype(np.float32)
 
+    # Unit-variance latent calibration for the substitute codec (the real
+    # SD-VAE ships a pre-calibrated scaling_factor; see
+    # LinearPatchCodec.calibrate).
+    if hasattr(codec, "calibrate"):
+        sample = images[: min(64, len(images))].astype(np.float32) * (2 / 255) - 1
+        sf = codec.calibrate(jnp.asarray(sample))
+        print(f"calibrated latent scaling factor: {sf:.4f}")
+
     perm = np.random.default_rng(config.split_seed).permutation(len(images))
     n_val = len(images) // 5
     val_idx, train_idx = perm[:n_val], perm[n_val:]
@@ -321,6 +329,15 @@ def run(config: LaionDiffusionConfig) -> dict:
                 np.asarray(imgs), f"{config.out_dir}/samples_epoch_{epoch}.png",
                 nrow=2, normalize=False, labels=SAMPLE_PROMPTS,
             )
+
+    # Final sample grid on the fixed prompts regardless of the per-epoch
+    # sampling flag (so headless training runs still leave an artifact).
+    rng, s_key = jax.random.split(rng)
+    imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
+    save_image_grid(
+        np.asarray(imgs), f"{config.out_dir}/final_samples.png",
+        nrow=2, normalize=False, labels=SAMPLE_PROMPTS,
+    )
 
     result["state"] = state
     logger.finish()

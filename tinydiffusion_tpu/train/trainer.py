@@ -146,7 +146,7 @@ def make_latent_train_step(
     """
 
     def step_fn(state: DiffusionTrainState, vae_params, x0: jnp.ndarray, y):
-        rng, z_key, t_key, noise_key = jax.random.split(state.rng, 4)
+        rng, z_key, t_key, noise_key, drop_key = jax.random.split(state.rng, 5)
         batch = x0.shape[0]
 
         mu, logvar = vae_model.apply(
@@ -167,7 +167,7 @@ def make_latent_train_step(
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
                 variables, z_t, t, y, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                rngs={"dropout": drop_key},
             )
             loss = jnp.mean((out - noise) ** 2)
             return loss, mutated.get("batch_stats", {})
