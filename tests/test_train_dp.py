@@ -38,6 +38,7 @@ def setup():
     return model, schedule, tx, state, x0
 
 
+@pytest.mark.slow
 def test_loss_decreases(setup):
     model, schedule, tx, state, x0 = setup
     step = make_train_step(model, tx, schedule)
@@ -49,6 +50,7 @@ def test_loss_decreases(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device(setup):
     """DP-sharded step == unsharded step on the same global batch: SPMD
     semantics guarantee it; this asserts the mesh plumbing preserves it."""

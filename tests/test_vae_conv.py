@@ -80,6 +80,7 @@ def test_loss_composition():
     assert float(comp["kld"]) > 0 or abs(float(comp["kld"])) < 100
 
 
+@pytest.mark.slow
 def test_conv_vae_trains(vae):
     model, variables = vae
     perceptual = PerceptualNet()

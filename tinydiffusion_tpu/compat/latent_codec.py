@@ -5,22 +5,36 @@ Stable Diffusion v1.4 ``AutoencoderKL``; encode
 ``vae.encode(x).latent_dist.sample() * scaling_factor`` -> (B, 4, 32, 32)
 latents from 256x256 images; decode ``vae.decode(x / scaling_factor).sample``.
 
-Offline substitute (``LinearPatchCodec``): SD weights are unreachable here,
-so the default codec is a fixed seeded orthonormal projection of 8x8x3
-patches to 4 channels (decode = transpose, an exact pseudo-inverse on the
-projected subspace), with the SD scaling factor 0.18215. It is linear and
-deterministic — NOT a learned VAE — but preserves every contract the
-pipeline relies on: (B,32,32,4) latents, frozen weights, the
-scaling-factor dance, and an honest decode for sample visualization. Swap
-``name="sd"`` when diffusers weights are reachable.
+Two executable codecs behind one seam (``encode(images, key=None)`` /
+``decode(latents)``, both jit-traceable):
+
+- ``SDVAEFlaxCodec`` (compat/sdvae.py): the real AutoencoderKL architecture
+  as pure jnp over a converted diffusers-format state dict — the 'sd' path.
+  Weights are unreachable offline (zero egress AND no diffusers package),
+  but the code path is proven by a parity test against a randomly
+  initialized torch replica (tests/test_pretrained_seams.py) and runs
+  inside the jitted LAION train step.
+- ``LinearPatchCodec``: the offline default — a fixed seeded orthonormal
+  projection of 8x8x3 patches to 4 channels (decode = transpose, an exact
+  pseudo-inverse on the projected subspace), with the SD scaling factor
+  0.18215. Linear and deterministic — NOT a learned VAE — but preserves
+  every contract the pipeline relies on: (B,32,32,4) latents, frozen
+  weights, the scaling-factor dance, and an honest decode for sample
+  visualization.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
-SD_SCALING_FACTOR = 0.18215
+from tinydiffusion_tpu.compat.sdvae import SD_SCALING_FACTOR, SDVAEFlaxCodec
+
+__all__ = ["LinearPatchCodec", "SDVAEFlaxCodec", "get_latent_codec",
+           "SD_SCALING_FACTOR"]
 
 
 class LinearPatchCodec:
@@ -63,8 +77,14 @@ class LinearPatchCodec:
         x = x.transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, s * p, s * p, self.channels)
 
-    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) in [-1,1] -> (B, 32, 32, 4) scaled latents."""
+    def encode(
+        self, images: jnp.ndarray, key: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """(B, H, W, 3) in [-1,1] -> (B, 32, 32, 4) scaled latents.
+
+        ``key`` is accepted for seam compatibility with the stochastic
+        SD-VAE encode (latent_dist.sample()); this codec is deterministic."""
+        del key
         patches = self._to_patches(images)
         z = jnp.einsum("bhwd,dk->bhwk", patches, self.w)
         return z * self.scaling_factor
@@ -88,40 +108,17 @@ class LinearPatchCodec:
         return self.scaling_factor
 
 
-class SDVAECodec:
-    """diffusers AutoencoderKL — the reference path (needs weights)."""
-
-    def __init__(self, model_name: str = "CompVis/stable-diffusion-v1-4"):
-        import torch
-        from diffusers import AutoencoderKL  # type: ignore
-
-        self._torch = torch
-        self.vae = AutoencoderKL.from_pretrained(model_name, subfolder="vae").eval()
-        self.scaling_factor = self.vae.config.scaling_factor
-
-    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
-        torch = self._torch
-        x = torch.from_numpy(np.asarray(images)).permute(0, 3, 1, 2)
-        with torch.no_grad():
-            latents = self.vae.encode(x).latent_dist.sample() * self.scaling_factor
-        return jnp.asarray(latents.permute(0, 2, 3, 1).numpy())
-
-    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        torch = self._torch
-        z = torch.from_numpy(np.asarray(latents)).permute(0, 3, 1, 2)
-        with torch.no_grad():
-            images = self.vae.decode(z / self.scaling_factor).sample
-        return jnp.asarray(images.permute(0, 2, 3, 1).numpy())
-
-
 def get_latent_codec(name: str = "auto", image_size: int = 256):
-    """'sd' | 'patch' | 'auto' (sd if loadable, else the patch substitute)."""
+    """'sd' | 'patch' | 'auto' (sd if loadable, else the patch substitute).
+
+    The 'sd' path returns the JAX-native ``SDVAEFlaxCodec`` (converted
+    AutoencoderKL weights, jit-traceable) — never a host-side torch wrapper."""
     if name == "patch":
         return LinearPatchCodec(image_size=image_size)
     if name == "sd":
-        return SDVAECodec()
+        return SDVAEFlaxCodec.from_pretrained()
     try:
-        return SDVAECodec()
+        return SDVAEFlaxCodec.from_pretrained()
     except Exception:
         import logging
 

@@ -51,44 +51,20 @@ class HashTextEncoder:
         return out
 
 
-class CLIPTextEncoder:
-    """transformers CLIP ViT-L/14, last-token pooling — the reference path
-    (conditional_diffusion_laion.py:207-219). Requires downloadable or
-    cached weights."""
-
-    def __init__(self, model_name: str = "openai/clip-vit-large-patch14"):
-        import torch
-        from transformers import CLIPTextModel, CLIPTokenizer
-
-        self._torch = torch
-        self.tokenizer = CLIPTokenizer.from_pretrained(model_name)
-        self.model = CLIPTextModel.from_pretrained(model_name).eval()
-        self.dim = self.model.config.hidden_size
-
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        torch = self._torch
-        inputs = self.tokenizer(
-            list(texts),
-            padding="max_length",
-            max_length=self.tokenizer.model_max_length,
-            truncation=True,
-            return_tensors="pt",
-        )
-        with torch.no_grad():
-            outputs = self.model(inputs.input_ids)
-            # LAST token only — faithful quirk (conditional_diffusion_laion.py:219).
-            embeds = outputs.last_hidden_state[:, -1, :]
-        return embeds.numpy().astype(np.float32)
-
-
 def get_text_encoder(name: str = "auto", dim: int = 768):
-    """'clip' | 'hash' | 'auto' (clip if loadable, else hash substitute)."""
+    """'clip' | 'hash' | 'auto' (clip if loadable, else hash substitute).
+
+    The 'clip' path returns the JAX-native ``CLIPTextFlaxEncoder``
+    (compat/clip.py: converted CLIP-L weights, jitted forward, last-token
+    pooling) — parity-tested against transformers' CLIPTextModel."""
+    from tinydiffusion_tpu.compat.clip import CLIPTextFlaxEncoder
+
     if name == "hash":
         return HashTextEncoder(dim)
     if name == "clip":
-        return CLIPTextEncoder()
+        return CLIPTextFlaxEncoder.from_pretrained()
     try:
-        return CLIPTextEncoder()
+        return CLIPTextFlaxEncoder.from_pretrained()
     except Exception:
         import logging
 

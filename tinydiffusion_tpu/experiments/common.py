@@ -33,10 +33,15 @@ def make_sampler(
 ):
     """Jitted end-to-end sampler: the entire T-step reverse chain is one
     compiled program (vs the reference's 1000 host-driven forwards,
-    diffusion.py:254-276). Eval-mode BN makes the scan body pure."""
+    diffusion.py:254-276). Eval-mode BN makes the scan body pure.
+
+    Conditional input validation mirrors the reference's clean ValueErrors
+    (conditional_diffusion.py:358-363) — a missing or mis-shaped ``y`` raises
+    here on the host instead of surfacing as a cryptic broadcast error from
+    inside the traced program."""
 
     @partial(jax.jit, static_argnames=("n",))
-    def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
+    def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
         shape = sample_shape if n is None else (n,) + sample_shape[1:]
 
         def apply_fn(x, t_vec):
@@ -45,6 +50,21 @@ def make_sampler(
             return model.apply(variables, *args, train=False)
 
         return ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype)
+
+    def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
+        n_samples = sample_shape[0] if n is None else n
+        if conditional:
+            if y is None:
+                raise ValueError(
+                    "Conditional model requires labels y for sampling"
+                )
+            y = jnp.asarray(y)
+            if y.shape != (n_samples,):
+                raise ValueError(
+                    f"y must have shape ({n_samples},) to match n_samples, "
+                    f"got {y.shape}"
+                )
+        return jitted_fn(params, batch_stats, key, y, n)
 
     return sample_fn
 

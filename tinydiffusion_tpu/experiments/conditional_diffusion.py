@@ -24,11 +24,15 @@ import optax
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 from tinydiffusion_tpu.data.loader import BatchIterator
 from tinydiffusion_tpu.data.mnist import load_mnist, train_val_split
-from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
+from tinydiffusion_tpu.experiments.common import (
+    make_sampler,
+    make_trajectory_sampler,
+    resolve_dtype,
+)
 from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.unet28 import UNet28
 from tinydiffusion_tpu.obs.images import save_image_grid
-from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import (
     create_train_state,
@@ -58,6 +62,8 @@ class ConditionalDiffusionConfig:
     use_mesh: bool = True
     log_every: int = 100
     sample_every_epoch: bool = True
+    visualize_denoising: bool = True
+    denoising_stride: int = 100
     max_steps_per_epoch: int = 0
 
 
@@ -104,29 +110,31 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     step = 0
     for epoch in range(config.num_epochs):
         throughput.reset()
-        train_loss, n_train = 0.0, 0
+        train_acc = LossAccumulator()
         for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
             if mesh is not None:
                 x0, y = shard_batch(mesh, (x0, y))
             state, loss = train_step(state, x0, y)
-            train_loss += float(loss)
-            n_train += 1
+            train_acc.add(loss)
             throughput.add(config.batch_size)
             if batch_idx % config.log_every == 0:
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx, "batch_train_loss": float(loss)},
+                    {"epoch": epoch, "batch": batch_idx,
+                     "batch_train_loss": train_acc.last()},
                     step=step,
                 )
             step += 1
-        jax.block_until_ready(state.params)
+        # One host fetch of all losses — also the real completion fence (the
+        # donated state chains every step into the fetched values), so the
+        # throughput reading below is honest loop-level samples/sec.
+        avg_train_loss = train_acc.mean()
         result["samples_per_sec"] = throughput.samples_per_sec
-        avg_train_loss = train_loss / max(n_train, 1)
 
         # Validation (eval-mode BN, fixed per-epoch key) —
         # conditional_diffusion.py:274-292.
-        val_loss, n_val = 0.0, 0
+        val_acc = LossAccumulator()
         for batch_idx, (x0, y) in enumerate(val_it.epoch()):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
@@ -134,11 +142,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
                 x0, y = shard_batch(mesh, (x0, y))
             val_key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 1),
                                          epoch * 10000 + batch_idx)
-            val_loss += float(
-                eval_step(state.params, state.batch_stats, x0, val_key, y)
-            )
-            n_val += 1
-        avg_val_loss = val_loss / max(n_val, 1)
+            val_acc.add(eval_step(state.params, state.batch_stats, x0, val_key, y))
+        avg_val_loss = val_acc.mean() if val_acc.count else avg_train_loss
         result["val_losses"].append(avg_val_loss)
 
         logger.log(
@@ -179,6 +184,34 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         samples, f"{config.out_dir}/generated_digit_7.png", nrow=4,
         labels=[7] * config.n_samples,
     )
+    logger.log_image("final_samples", f"{config.out_dir}/generated_digit_7.png", step)
+
+    # Labeled coarse denoising trajectory (the reference DEFINES a
+    # conditional visualize_denoising_process it never calls — diffusion.py:246
+    # analog; we wire it, strided per visualize_denoising_process semantics).
+    if config.visualize_denoising:
+        traj_fn = make_trajectory_sampler(
+            model, schedule, (4, 28, 28, 1), stride=config.denoising_stride,
+            conditional=True, dtype=resolve_dtype(config.sample_dtype),
+        )
+        rng, t_rng, ty_rng = jax.random.split(rng, 3)
+        y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)
+        traj = np.asarray(
+            jax.device_get(
+                traj_fn(state.params, state.batch_stats, t_rng, y=y_traj)
+            ),
+            np.float32,
+        )
+        y_labels = np.asarray(y_traj)
+        for i, frame in enumerate((traj + 1) / 2):
+            t_label = config.num_timesteps - i * config.denoising_stride
+            save_image_grid(
+                frame, f"{config.out_dir}/denoising_t{t_label}.png", nrow=2,
+                labels=y_labels,
+            )
+        logger.log_image(
+            "denoising_trajectory", f"{config.out_dir}/denoising_t0.png", step
+        )
     result["state"] = state
     logger.finish()
     return result

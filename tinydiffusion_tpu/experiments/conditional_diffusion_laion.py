@@ -47,7 +47,7 @@ from tinydiffusion_tpu.experiments.common import resolve_dtype
 from tinydiffusion_tpu.io.checkpoint import BestKeeper, checkpoint_exists, restore_checkpoint
 from tinydiffusion_tpu.models.unet_latent import LatentUNet
 from tinydiffusion_tpu.obs.images import save_image_grid
-from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import DiffusionTrainState, create_train_state
 
@@ -98,8 +98,11 @@ def make_laion_train_step(model, tx, schedule, codec, mesh=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def step_fn(state: DiffusionTrainState, images, text_embeds):
-        rng, t_key, noise_key = jax.random.split(state.rng, 3)
-        latents = codec.encode(images)
+        rng, t_key, noise_key, enc_key = jax.random.split(state.rng, 4)
+        # Stochastic encode (the reference's latent_dist.sample(),
+        # conditional_diffusion_laion.py:460-461); deterministic codecs
+        # (LinearPatchCodec) ignore the key.
+        latents = codec.encode(images, key=enc_key)
         batch = latents.shape[0]
         t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
         from tinydiffusion_tpu.core.process import q_sample
@@ -134,8 +137,8 @@ def make_laion_eval_step(model, schedule, codec, mesh=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def step_fn(params, batch_stats, images, text_embeds, key):
-        t_key, noise_key = jax.random.split(key)
-        latents = codec.encode(images)
+        t_key, noise_key, enc_key = jax.random.split(key, 3)
+        latents = codec.encode(images, key=enc_key)
         batch = latents.shape[0]
         t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
         from tinydiffusion_tpu.core.process import q_sample
@@ -276,33 +279,32 @@ def run(config: LaionDiffusionConfig) -> dict:
 
     for epoch in range(config.num_epochs):
         throughput.reset()
-        train_loss, n_train = 0.0, 0
+        train_acc = LossAccumulator()
         for batch_idx, (x, emb) in enumerate(train_it.epoch(epoch)):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
             if mesh is not None:
                 x, emb = shard_batch(mesh, (x, emb))
             state, loss = train_step(state, x, emb)
-            train_loss += float(loss)
-            n_train += 1
+            train_acc.add(loss)
             throughput.add(config.batch_size)
             if batch_idx % config.log_every == 0:
                 logger.log({"epoch": epoch, "batch": batch_idx,
-                            "batch_train_loss": float(loss)})
+                            "batch_train_loss": train_acc.last()})
             if config.sample_every_batches and batch_idx > 0 and (
                 batch_idx % config.sample_every_batches == 0
             ):
                 rng, s_key = jax.random.split(rng)
                 imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
-                save_image_grid(
-                    np.asarray(imgs),
-                    f"{config.out_dir}/sampled_epoch{epoch}_batch{batch_idx}.png",
-                    nrow=2, normalize=False,
-                )
+                path = f"{config.out_dir}/sampled_epoch{epoch}_batch{batch_idx}.png"
+                save_image_grid(np.asarray(imgs), path, nrow=2, normalize=False)
+                logger.log_image("sampled_images", path)
+        # Single epoch-end fetch doubles as the completion fence (donated
+        # chained state) — honest loop-level throughput.
+        avg_train = train_acc.mean()
         result["samples_per_sec"] = throughput.samples_per_sec
-        avg_train = train_loss / max(n_train, 1)
 
-        val_loss, n_vb = 0.0, 0
+        val_acc = LossAccumulator()
         for i, (x, emb) in enumerate(val_it.epoch()):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
@@ -310,11 +312,10 @@ def run(config: LaionDiffusionConfig) -> dict:
                 x, emb = shard_batch(mesh, (x, emb))
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 3),
                                      epoch * 10000 + i)
-            val_loss += float(eval_step(state.params, state.batch_stats, x, emb, key))
-            n_vb += 1
+            val_acc.add(eval_step(state.params, state.batch_stats, x, emb, key))
         # Tiny configs can leave the val split with zero full batches; fall
         # back to train loss rather than recording a spurious 0.
-        avg_val = val_loss / n_vb if n_vb else avg_train
+        avg_val = val_acc.mean() if val_acc.count else avg_train
         result["val_losses"].append(avg_val)
         logger.log({"epoch": epoch, "epoch_train_loss": avg_train,
                     "val_loss": avg_val,
@@ -329,6 +330,7 @@ def run(config: LaionDiffusionConfig) -> dict:
                 np.asarray(imgs), f"{config.out_dir}/samples_epoch_{epoch}.png",
                 nrow=2, normalize=False, labels=SAMPLE_PROMPTS,
             )
+            logger.log_image("samples", f"{config.out_dir}/samples_epoch_{epoch}.png")
 
     # Final sample grid on the fixed prompts regardless of the per-epoch
     # sampling flag (so headless training runs still leave an artifact).
@@ -338,6 +340,7 @@ def run(config: LaionDiffusionConfig) -> dict:
         np.asarray(imgs), f"{config.out_dir}/final_samples.png",
         nrow=2, normalize=False, labels=SAMPLE_PROMPTS,
     )
+    logger.log_image("final_samples", f"{config.out_dir}/final_samples.png")
 
     result["state"] = state
     logger.finish()

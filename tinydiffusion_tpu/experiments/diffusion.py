@@ -30,6 +30,7 @@ from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
 from tinydiffusion_tpu.models.unet28 import UNet28
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.obs.profiling import force
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import create_train_state, make_train_step
 
@@ -63,6 +64,11 @@ class DiffusionConfig:
     sample_dtype: str = "float32"
     # Hermetic-mode knob for tests/CI: cap steps per epoch (None = full epoch).
     max_steps_per_epoch: int = 0  # 0 = unlimited
+    # Fused Pallas q_sample: in-kernel TPU PRNG + noising in one pass
+    # (+28% measured step throughput). Statistically identical N(0, I) but a
+    # DIFFERENT noise stream than jax.random — leave off for parity/replay
+    # runs; single-chip only (the kernel does not partition over a mesh).
+    fused_qsample: bool = False
 
 
 def run(config: DiffusionConfig) -> dict:
@@ -92,7 +98,9 @@ def run(config: DiffusionConfig) -> dict:
     state = create_train_state(model, tx, example, init_rng)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    train_step = make_train_step(model, tx, schedule, mesh=mesh)
+    train_step = make_train_step(
+        model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample
+    )
     sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype
@@ -103,6 +111,7 @@ def run(config: DiffusionConfig) -> dict:
     result = {"losses": [], "samples_per_sec": 0.0}
 
     step = 0
+    loss = None
     for epoch in range(config.num_epochs):
         epoch_t0 = time.perf_counter()
         throughput.reset()
@@ -121,7 +130,10 @@ def run(config: DiffusionConfig) -> dict:
                 )
                 result["losses"].append(loss_val)
             step += 1
-        jax.block_until_ready(state.params)
+        # Real completion fence: block_until_ready does not fence on this
+        # backend (obs/profiling.force); fetching the chained loss does.
+        if loss is not None:
+            force(loss)
         sps = throughput.samples_per_sec
         result["samples_per_sec"] = sps
 
@@ -133,6 +145,9 @@ def run(config: DiffusionConfig) -> dict:
                 samples,
                 f"{config.out_dir}/generated_mnist_epoch_{epoch}.png",
                 nrow=4,
+            )
+            logger.log_image(
+                "samples", f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", step
             )
         logger.log(
             {

@@ -39,7 +39,7 @@ from tinydiffusion_tpu.models.dit import DiT
 from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
 from tinydiffusion_tpu.models.vae_mnist import VAEMnist
 from tinydiffusion_tpu.obs.images import save_image_grid
-from tinydiffusion_tpu.obs.metrics import MetricsLogger, Throughput
+from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from tinydiffusion_tpu.train.trainer import (
     create_train_state,
@@ -76,6 +76,17 @@ class LatentDiffusionConfig:
     log_every: int = 100
     sample_every_epoch: bool = True
     max_steps_per_epoch: int = 0
+
+
+def steps_per_epoch_from_split(
+    n_train: int, batch_size: int, max_steps_per_epoch: int = 0
+) -> int:
+    """Train steps per epoch for the ACTUAL train split (full batches only —
+    BatchIterator drops the remainder), capped by ``max_steps_per_epoch``."""
+    steps = n_train // batch_size
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    return max(steps, 1)
 
 
 def load_vae(config: LatentDiffusionConfig):
@@ -184,27 +195,25 @@ def run(config: LatentDiffusionConfig) -> dict:
     model = build_denoiser(config, latent_dim, dtype)
     schedule = DiffusionSchedule.linear(config.num_timesteps)
 
+    images, labels = load_mnist(config.data_root, train=True)
+    xt, yt, xv, yv = train_val_split(images, labels, config.val_frac, config.split_seed)
+    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
+    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
+
     if config.backbone == "dit":
         # diffusion_transformer.py:176-177, 288: Adam 3e-4 with per-epoch
-        # CosineAnnealingLR over num_epochs.
+        # CosineAnnealingLR over num_epochs. The per-EPOCH schedule is
+        # emulated by integer-dividing the step count by the ACTUAL number
+        # of train steps per epoch (derived from the split, not hardcoded).
         lr_schedule = optax.cosine_decay_schedule(3e-4, config.num_epochs)
-        # per-EPOCH schedule: count steps via integer division inside wrapper
-        steps_per_epoch = max(
-            1,
-            (48000 // config.batch_size)
-            if not config.max_steps_per_epoch
-            else config.max_steps_per_epoch,
+        steps_per_epoch = steps_per_epoch_from_split(
+            len(xt), config.batch_size, config.max_steps_per_epoch
         )
         tx = optax.adam(
             lambda step: lr_schedule(step // steps_per_epoch)
         )
     else:
         tx = optax.adam(config.lr)
-
-    images, labels = load_mnist(config.data_root, train=True)
-    xt, yt, xv, yv = train_val_split(images, labels, config.val_frac, config.split_seed)
-    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
-    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
 
     rng, init_rng = jax.random.split(rng)
     example = (
@@ -241,27 +250,28 @@ def run(config: LatentDiffusionConfig) -> dict:
     step = 0
     for epoch in range(config.num_epochs):
         throughput.reset()
-        train_loss, n_train = 0.0, 0
+        train_acc = LossAccumulator()
         for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
             if mesh is not None:
                 x0, y = shard_batch(mesh, (x0, y))
             state, loss = train_step(state, vae_params, x0, y)
-            train_loss += float(loss)
-            n_train += 1
+            train_acc.add(loss)
             throughput.add(config.batch_size)
             if batch_idx % config.log_every == 0:
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx, "batch_train_loss": float(loss)},
+                    {"epoch": epoch, "batch": batch_idx,
+                     "batch_train_loss": train_acc.last()},
                     step=step,
                 )
             step += 1
-        jax.block_until_ready(state.params)
+        # Single epoch-end fetch doubles as the completion fence (donated
+        # chained state) — honest loop-level throughput.
+        avg_train_loss = train_acc.mean()
         result["samples_per_sec"] = throughput.samples_per_sec
-        avg_train_loss = train_loss / max(n_train, 1)
 
-        val_loss, n_val = 0.0, 0
+        val_acc = LossAccumulator()
         for batch_idx, (x0, y) in enumerate(val_it.epoch()):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
@@ -270,11 +280,10 @@ def run(config: LatentDiffusionConfig) -> dict:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(config.seed + 11), epoch * 10000 + batch_idx
             )
-            val_loss += float(
+            val_acc.add(
                 eval_step(state.params, state.batch_stats, vae_params, x0, key, y)
             )
-            n_val += 1
-        avg_val_loss = val_loss / max(n_val, 1)
+        avg_val_loss = val_acc.mean() if val_acc.count else avg_train_loss
         result["val_losses"].append(avg_val_loss)
 
         logger.log(
@@ -297,6 +306,9 @@ def run(config: LatentDiffusionConfig) -> dict:
             save_image_grid(
                 x, f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", nrow=4,
                 labels=np.asarray(y_sample),
+            )
+            logger.log_image(
+                "samples", f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", step
             )
 
     if config.visualize_denoising:
@@ -327,6 +339,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         x, f"{config.out_dir}/generated_digit_7.png", nrow=4,
         labels=[7] * config.n_samples,
     )
+    logger.log_image("final_samples", f"{config.out_dir}/generated_digit_7.png", step)
     result["state"] = state
     logger.finish()
     return result

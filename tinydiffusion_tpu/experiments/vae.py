@@ -26,7 +26,7 @@ from tinydiffusion_tpu.data.mnist import load_mnist
 from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.vae_mnist import VAEConfig, VAEMnist, vae_loss
 from tinydiffusion_tpu.obs.images import save_image_grid
-from tinydiffusion_tpu.obs.metrics import MetricsLogger
+from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 
 
@@ -129,23 +129,23 @@ def run(config: VAEExperimentConfig) -> dict:
 
     for epoch in range(1, config.epochs + 1):
         # Train epoch (vae.py:105-126).
-        train_loss = 0.0
+        train_acc = LossAccumulator()
         for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
             if mesh is not None:
                 x = shard_batch(mesh, x)
             state, loss = train_step(state, x)
-            train_loss += float(loss)
+            train_acc.add(loss)
             if batch_idx % config.log_every == 0:
                 logger.log(
                     {"epoch": epoch, "batch": batch_idx,
-                     "loss_per_sample": float(loss) / config.batch_size}
+                     "loss_per_sample": train_acc.last() / config.batch_size}
                 )
-        avg_train_loss = train_loss / max(n_train, 1)
+        avg_train_loss = train_acc.sum() / max(n_train, 1)
 
         # Test epoch (vae.py:129-163) with reconstruction panel on batch 0.
-        test_loss = 0.0
+        test_acc = LossAccumulator()
         for i, (x,) in enumerate(test_it.epoch()):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
@@ -153,19 +153,18 @@ def run(config: VAEExperimentConfig) -> dict:
             if mesh is not None:
                 x = shard_batch(mesh, x)
             loss, recon = eval_step(state.params, x, key)
-            test_loss += float(loss)
+            test_acc.add(loss)
             if i == 0:
                 n_img = config.n_images_to_log
                 originals = (np.asarray(x[:n_img]).reshape(-1, 28, 28) + 1) / 2
                 recons = np.asarray(recon[:n_img]).reshape(-1, 28, 28)
                 panel = np.concatenate([originals, recons], axis=0)
-                save_image_grid(
-                    panel,
-                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png",
-                    nrow=n_img,
-                    normalize=False,
+                panel_path = (
+                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png"
                 )
-        avg_test_loss = test_loss / max(n_test, 1)
+                save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
+                logger.log_image("original_vs_reconstructed", panel_path)
+        avg_test_loss = test_acc.sum() / max(n_test, 1)
         result["test_losses"].append(avg_test_loss)
 
         logger.log(
@@ -186,6 +185,7 @@ def run(config: VAEExperimentConfig) -> dict:
         nrow=4,
         normalize=False,
     )
+    logger.log_image("generated_samples", f"{config.out_dir}/generated_samples.png")
     result["state"] = state
     logger.finish()
     return result

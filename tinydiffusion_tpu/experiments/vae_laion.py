@@ -41,7 +41,7 @@ from tinydiffusion_tpu.models.vae_conv import (
     conv_vae_loss,
 )
 from tinydiffusion_tpu.obs.images import save_image_grid
-from tinydiffusion_tpu.obs.metrics import MetricsLogger
+from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger
 from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 
 
@@ -195,18 +195,19 @@ def run(config: VAELaionConfig) -> dict:
     result = {"test_losses": []}
 
     for epoch in range(1, config.epochs + 1):
-        train_loss, n_seen = 0.0, 0
+        train_acc, n_seen = LossAccumulator(), 0
         for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
             if np.all(x == 0):  # failed-download batches (vae_laion.py:346-350)
                 print(f"Batch {batch_idx} contains all-zero images, skipping.")
                 continue
+            batch_len = len(x)
             if mesh is not None:
                 x = shard_batch(mesh, x)
             state, loss, components = train_step(state, x)
-            train_loss += float(loss)
-            n_seen += len(x)
+            train_acc.add(loss)
+            n_seen += batch_len
             if batch_idx % config.log_interval == 0:
                 comp = {k: float(v) for k, v in components.items()}
                 if not all(np.isfinite(v) for v in comp.values()):
@@ -215,11 +216,13 @@ def run(config: VAELaionConfig) -> dict:
                     print(f"Loss components: {comp}")
                 logger.log(
                     {"epoch": epoch, "batch": batch_idx,
-                     "batch_train_loss": float(loss) / max(len(x), 1), **comp}
+                     "batch_train_loss": train_acc.last() / max(batch_len, 1), **comp}
                 )
-        avg_train = train_loss / max(n_seen, 1)
+        # One epoch-end fetch of all losses (completion fence included —
+        # donated chained state), instead of a host sync per step.
+        avg_train = train_acc.sum() / max(n_seen, 1)
 
-        test_loss, n_test = 0.0, 0
+        test_acc, n_test = LossAccumulator(), 0
         for i, (x,) in enumerate(val_it.epoch()):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
@@ -229,25 +232,25 @@ def run(config: VAELaionConfig) -> dict:
             if mesh is not None:
                 x = shard_batch(mesh, x)
             loss, recon = eval_step(state.params, state.batch_stats, x, key)
-            test_loss += float(loss)
+            test_acc.add(loss)
             n_test += len(x)
             if i == 0:
                 n_img = min(config.n_images_to_log, len(x))
                 panel = np.concatenate(
                     [np.asarray(x[:n_img]), np.asarray(recon[:n_img])], axis=0
                 )
-                save_image_grid(
-                    panel,
-                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png",
-                    nrow=n_img, normalize=False,
+                panel_path = (
+                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png"
                 )
+                save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
+                logger.log_image("original_vs_reconstructed", panel_path)
         if n_test == 0:
             # Tiny configs can leave the 10% val split with zero full
             # batches; fall back to train loss for the best-model policy
             # rather than recording a spurious 0.
             avg_test = avg_train
         else:
-            avg_test = test_loss / n_test
+            avg_test = test_acc.sum() / n_test
         result["test_losses"].append(avg_test)
         logger.log({"epoch": epoch, "train_loss": avg_train, "test_loss": avg_test})
         if keeper.update(avg_test, state, config=dataclasses.asdict(config), epoch=epoch):
@@ -264,6 +267,7 @@ def run(config: VAELaionConfig) -> dict:
         np.asarray(samples), f"{config.out_dir}/generated_samples.png",
         nrow=4, normalize=False,
     )
+    logger.log_image("generated_samples", f"{config.out_dir}/generated_samples.png")
     result["state"] = state
     logger.finish()
     return result

@@ -81,6 +81,53 @@ class MetricsLogger:
             self._wandb.finish()
 
 
+class LossAccumulator:
+    """Accumulates per-step loss scalars WITHOUT forcing a host sync.
+
+    ``float(loss)`` per batch costs a device round-trip per step (~1 ms
+    tunnel RTT on this backend — measured +42 ms/step on the MNIST train
+    loop). ``add`` just buffers the device scalar (zero dispatches — a
+    per-step device-side running sum costs +15 ms/step on this tunnel, and
+    ``jnp.stack`` of N buffered scalars ~44 ms per buffer); ``mean()`` /
+    ``sum()`` fetch everything in one ``jax.device_get`` at epoch end
+    (measured: indistinguishable from not accumulating at all).
+    ``last()`` syncs a single scalar — log-point cadence only. The epoch
+    fetch blocks on the final (donated, chained) step, so it doubles as a
+    real completion fence (see obs/profiling.force) — read throughput
+    counters after it.
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def add(self, loss) -> None:
+        self._vals.append(loss)
+
+    def last(self) -> float:
+        """Most recent loss as a host float (one sync — log-point cadence)."""
+        return float(self._vals[-1]) if self._vals else 0.0
+
+    @property
+    def count(self) -> int:
+        return len(self._vals)
+
+    def _fetch(self):
+        import jax
+        import numpy as np
+
+        return np.asarray(jax.device_get(self._vals), np.float64)
+
+    def sum(self) -> float:
+        """Epoch total (one bulk fetch; doubles as a completion fence)."""
+        return float(self._fetch().sum()) if self._vals else 0.0
+
+    def mean(self) -> float:
+        return float(self._fetch().mean()) if self._vals else 0.0
+
+    def reset(self) -> None:
+        self._vals: list = []
+
+
 class Throughput:
     """Rolling samples/sec counter (calls ``block_until_ready`` nowhere —
     callers should sync before stopping the clock for honest numbers)."""

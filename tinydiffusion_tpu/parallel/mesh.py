@@ -51,11 +51,22 @@ def make_mesh_for_batch(batch_size: int, axes: Sequence[str] = ("data",)) -> Mes
 
     XLA batch sharding needs dim0 % n_devices == 0; small reference configs
     (e.g. vae_laion's batch 4, vae_laion.py:30) may not cover every device —
-    use the largest device count that divides the batch (worst case 1)."""
+    use the largest device count that divides the batch (worst case 1), and
+    say so out loud: silently idling chips is a perf bug waiting to be
+    misread as a compiler problem."""
     import math
 
     devices = jax.devices()
     n = math.gcd(batch_size, len(devices))
+    if n < len(devices):
+        import logging
+
+        logging.getLogger("tinydiffusion.mesh").warning(
+            "batch_size=%d does not divide %d devices; using a %d-device mesh "
+            "(%d devices idle). Pick a batch divisible by the device count to "
+            "use the full slice.",
+            batch_size, len(devices), n, len(devices) - n,
+        )
     return make_mesh(axes, shape=[n] + [1] * (len(axes) - 1), devices=devices[:n])
 
 

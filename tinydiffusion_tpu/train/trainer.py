@@ -67,6 +67,7 @@ def make_train_step(
     conditional: bool = False,
     mesh: Optional[Mesh] = None,
     state_sharding: Any = None,
+    fused_qsample: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -79,13 +80,41 @@ def make_train_step(
     mesh, "model")`` to run tensor-parallel over the ``model`` axis (params,
     BN stats, and optimizer moments sharded on their feature dim; XLA
     propagates the activation layouts and inserts the collectives).
+
+    ``fused_qsample``: generate the noising Gaussian INSIDE a Pallas kernel
+    with the TPU hardware PRNG and emit (x_t, noise) in one pass over the
+    batch (ops/qsample.py) instead of ``jax.random.normal`` + scale-add.
+    Statistically identical N(0, I) noise, but a DIFFERENT stream than
+    ``jax.random`` — opt-in for throughput training only; parity/replay
+    paths must keep the default. Off-TPU it falls back to the jax.random
+    path. Single-device/1-chip meshes only (the kernel does not partition).
     """
+    if fused_qsample:
+        from tinydiffusion_tpu.ops.qsample import q_sample_fused
+
+        # The Pallas kernel does not partition over a mesh (the off-TPU
+        # fallback is plain q_sample, which does).
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and jax.default_backend() == "tpu"
+        ):
+            raise ValueError(
+                "fused_qsample does not partition over a multi-device mesh; "
+                "use the default q_sample path under DP/TP"
+            )
 
     def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
         rng, t_key, noise_key, drop_key = jax.random.split(state.rng, 4)
         batch = x0.shape[0]
         t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
-        x_t, noise = q_sample(schedule, x0, t, noise_key)
+        if fused_qsample:
+            seed = jax.random.randint(
+                noise_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            x_t, noise = q_sample_fused(schedule, x0, t, seed)
+        else:
+            x_t, noise = q_sample(schedule, x0, t, noise_key)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
