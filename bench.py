@@ -166,30 +166,35 @@ def main():
     train_sps_per_chip = TRAIN_STEPS * BATCH / train_dt / n_chips
 
     # Loop-level throughput: the shipped experiment loop — uint8 host data,
-    # native fused gather+normalize batch assembly, fresh per-step transfer,
-    # shard_batch, and the log_every host-sync cadence (every 100 steps).
-    from tinydiffusion_tpu.data.loader import BatchIterator
+    # native gather batch assembly, threaded device-prefetch with on-device
+    # normalize, and the log_every host-sync cadence (every 100 steps).
+    from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
     from tinydiffusion_tpu.obs.metrics import LossAccumulator
+    from tinydiffusion_tpu.parallel.mesh import batch_sharding
 
     data_u8 = np.random.default_rng(1).integers(
         0, 256, size=(BATCH * (TRAIN_STEPS + 5), 28, 28, 1), dtype=np.uint8
     )
     it = BatchIterator(
-        [data_u8], BATCH, shuffle=True, seed=0, u8_normalize=(2.0 / 255.0, -1.0)
+        [data_u8], BATCH, shuffle=True, seed=0,
+        u8_normalize=(2.0 / 255.0, -1.0), device_normalize=True,
     )
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
     state_loop = create_train_state(model, tx, example, jax.random.PRNGKey(7))
-    # warmup (same compiled step reused; first batches also warm the cache)
-    batches = list(it.epoch(0))
-    for (xb,) in batches[:5]:
-        if mesh is not None:
-            xb = shard_batch(mesh, xb)
+    # warmup epoch (same compiled step reused; warms the prefetch path too)
+    for (xb,) in prefetch_to_device(
+        it.epoch(0), sharding=batch_sh, transform=it.device_transform
+    ):
         state_loop, loss = train_step(state_loop, xb)
     force(loss)
     acc = LossAccumulator()
     t0 = time.perf_counter()
-    for i, (xb,) in enumerate(batches[5 : 5 + TRAIN_STEPS]):
-        if mesh is not None:
-            xb = shard_batch(mesh, xb)
+    for i, (xb,) in enumerate(
+        prefetch_to_device(it.epoch(1), sharding=batch_sh,
+                           transform=it.device_transform)
+    ):
+        if i >= TRAIN_STEPS:
+            break
         state_loop, loss = train_step(state_loop, xb)
         acc.add(loss)
         if i % 100 == 0:

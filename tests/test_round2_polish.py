@@ -80,6 +80,62 @@ def test_mesh_underuse_warns(caplog):
     assert not caplog.records
 
 
+def test_device_normalize_matches_host_path():
+    from tinydiffusion_tpu.data.loader import BatchIterator
+
+    u8 = np.random.default_rng(0).integers(0, 256, (40, 8, 8, 1), dtype=np.uint8)
+    labels = np.arange(40, dtype=np.int32)
+    host_it = BatchIterator([u8, labels], 8, shuffle=True, seed=3,
+                            u8_normalize=(2 / 255, -1.0))
+    dev_it = BatchIterator([u8, labels], 8, shuffle=True, seed=3,
+                           u8_normalize=(2 / 255, -1.0), device_normalize=True)
+    transform = dev_it.device_transform
+    for (hx, hy), (dx, dy) in zip(host_it.epoch(0), dev_it.epoch(0)):
+        assert dx.dtype == np.uint8  # bytes until the device transform
+        tx, ty = transform((jnp.asarray(dx), jnp.asarray(dy)))
+        np.testing.assert_allclose(np.asarray(tx), hx, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ty), hy)
+
+
+def test_prefetch_to_device_order_and_early_stop():
+    from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
+
+    u8 = np.random.default_rng(1).integers(0, 256, (64, 4, 4, 1), dtype=np.uint8)
+    it = BatchIterator([u8], 8, shuffle=False, u8_normalize=(1 / 255, 0.0),
+                       device_normalize=True)
+    ref = [x for (x,) in BatchIterator([u8], 8, shuffle=False,
+                                       u8_normalize=(1 / 255, 0.0)).epoch()]
+    got = [
+        np.asarray(x)
+        for (x,) in prefetch_to_device(it.epoch(), transform=it.device_transform)
+    ]
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-6)
+
+    # Early break must not deadlock (stop event reaches the worker).
+    gen = prefetch_to_device(it.epoch(), transform=it.device_transform)
+    next(gen)
+    gen.close()
+
+
+def test_prefetch_applies_sharding():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
+    from tinydiffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",))
+    u8 = np.random.default_rng(2).integers(0, 256, (32, 4, 4, 1), dtype=np.uint8)
+    it = BatchIterator([u8], 16, shuffle=False, u8_normalize=(1 / 255, 0.0),
+                       device_normalize=True)
+    sh = NamedSharding(mesh, P("data"))
+    for (x,) in prefetch_to_device(it.epoch(), sharding=sh,
+                                   transform=it.device_transform):
+        assert x.sharding.is_equivalent_to(sh, x.ndim)
+        assert x.dtype == jnp.float32
+
+
 def test_loss_accumulator_device_scalars():
     acc = LossAccumulator()
     assert acc.last() == 0.0 and acc.mean() == 0.0 and acc.count == 0

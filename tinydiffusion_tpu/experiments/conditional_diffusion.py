@@ -22,8 +22,13 @@ import numpy as np
 import optax
 
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
-from tinydiffusion_tpu.data.loader import BatchIterator
-from tinydiffusion_tpu.data.mnist import load_mnist, train_val_split
+from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
+from tinydiffusion_tpu.data.mnist import (
+    MNIST_SCALE,
+    MNIST_SHIFT,
+    load_mnist_u8,
+    train_val_split,
+)
 from tinydiffusion_tpu.experiments.common import (
     make_sampler,
     make_trajectory_sampler,
@@ -33,7 +38,7 @@ from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.unet28 import UNet28
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
-from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from tinydiffusion_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
 from tinydiffusion_tpu.train.trainer import (
     create_train_state,
     make_eval_step,
@@ -71,12 +76,18 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     dtype = resolve_dtype(config.compute_dtype)
     rng = jax.random.PRNGKey(config.seed)
 
-    images, labels = load_mnist(config.data_root, train=True)
+    # uint8 storage + device-side normalize via the prefetch worker
+    # (data/loader.py): bytes over the link, H2D overlapped with compute.
+    images_u8, labels = load_mnist_u8(config.data_root, train=True)
     xt, yt, xv, yv = train_val_split(
-        images, labels, config.val_frac, seed=config.split_seed
+        images_u8, labels, config.val_frac, seed=config.split_seed
     )
-    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
-    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
+    u8 = (MNIST_SCALE, MNIST_SHIFT)
+    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True,
+                             seed=config.seed, u8_normalize=u8,
+                             device_normalize=True)
+    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False,
+                           u8_normalize=u8, device_normalize=True)
 
     schedule = DiffusionSchedule.linear(config.num_timesteps)
     model = UNet28(
@@ -107,15 +118,18 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     throughput = Throughput()
     result = {"val_losses": [], "samples_per_sec": 0.0}
 
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
     step = 0
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
+        batches = prefetch_to_device(
+            train_it.epoch(epoch), sharding=batch_sh,
+            transform=train_it.device_transform,
+        )
+        for batch_idx, (x0, y) in enumerate(batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x0, y = shard_batch(mesh, (x0, y))
             state, loss = train_step(state, x0, y)
             train_acc.add(loss)
             throughput.add(config.batch_size)
@@ -135,11 +149,12 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         # Validation (eval-mode BN, fixed per-epoch key) —
         # conditional_diffusion.py:274-292.
         val_acc = LossAccumulator()
-        for batch_idx, (x0, y) in enumerate(val_it.epoch()):
+        val_batches = prefetch_to_device(
+            val_it.epoch(), sharding=batch_sh, transform=val_it.device_transform
+        )
+        for batch_idx, (x0, y) in enumerate(val_batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x0, y = shard_batch(mesh, (x0, y))
             val_key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 1),
                                          epoch * 10000 + batch_idx)
             val_acc.add(eval_step(state.params, state.batch_stats, x0, val_key, y))

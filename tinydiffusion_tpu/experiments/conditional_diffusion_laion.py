@@ -42,13 +42,13 @@ from tinydiffusion_tpu.data.laion import (
     load_laion_dataset,
     precache_dataset,
 )
-from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
 from tinydiffusion_tpu.experiments.common import resolve_dtype
 from tinydiffusion_tpu.io.checkpoint import BestKeeper, checkpoint_exists, restore_checkpoint
 from tinydiffusion_tpu.models.unet_latent import LatentUNet
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
-from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from tinydiffusion_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
 from tinydiffusion_tpu.train.trainer import DiffusionTrainState, create_train_state
 
 
@@ -225,9 +225,10 @@ def run(config: LaionDiffusionConfig) -> dict:
     u8 = (2.0 / 255.0, -1.0)  # ToTensor + Normalize(0.5x3): [-1, 1]
     train_it = BatchIterator([images[train_idx], embeds[train_idx]],
                              config.batch_size, shuffle=True, seed=config.seed,
-                             u8_normalize=u8)
+                             u8_normalize=u8, device_normalize=True)
     val_it = BatchIterator([images[val_idx], embeds[val_idx]],
-                           config.batch_size, shuffle=False, u8_normalize=u8)
+                           config.batch_size, shuffle=False, u8_normalize=u8,
+                           device_normalize=True)
 
     schedule = DiffusionSchedule.linear(config.num_timesteps)
     model = LatentUNet(time_dim=config.time_dim,
@@ -277,14 +278,17 @@ def run(config: LaionDiffusionConfig) -> dict:
     throughput = Throughput()
     result = {"val_losses": [], "samples_per_sec": 0.0}
 
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        for batch_idx, (x, emb) in enumerate(train_it.epoch(epoch)):
+        batches = prefetch_to_device(
+            train_it.epoch(epoch), sharding=batch_sh,
+            transform=train_it.device_transform,
+        )
+        for batch_idx, (x, emb) in enumerate(batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x, emb = shard_batch(mesh, (x, emb))
             state, loss = train_step(state, x, emb)
             train_acc.add(loss)
             throughput.add(config.batch_size)
@@ -305,11 +309,12 @@ def run(config: LaionDiffusionConfig) -> dict:
         result["samples_per_sec"] = throughput.samples_per_sec
 
         val_acc = LossAccumulator()
-        for i, (x, emb) in enumerate(val_it.epoch()):
+        val_batches = prefetch_to_device(
+            val_it.epoch(), sharding=batch_sh, transform=val_it.device_transform
+        )
+        for i, (x, emb) in enumerate(val_batches):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x, emb = shard_batch(mesh, (x, emb))
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 3),
                                      epoch * 10000 + i)
             val_acc.add(eval_step(state.params, state.batch_stats, x, emb, key))

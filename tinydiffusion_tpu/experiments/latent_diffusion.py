@@ -26,8 +26,13 @@ import optax
 
 from tinydiffusion_tpu.core.sampler import ddpm_sample
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
-from tinydiffusion_tpu.data.loader import BatchIterator
-from tinydiffusion_tpu.data.mnist import load_mnist, train_val_split
+from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
+from tinydiffusion_tpu.data.mnist import (
+    MNIST_SCALE,
+    MNIST_SHIFT,
+    load_mnist_u8,
+    train_val_split,
+)
 from tinydiffusion_tpu.experiments.common import resolve_dtype
 from tinydiffusion_tpu.io.checkpoint import (
     BestKeeper,
@@ -40,7 +45,7 @@ from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
 from tinydiffusion_tpu.models.vae_mnist import VAEMnist
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger, Throughput
-from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from tinydiffusion_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
 from tinydiffusion_tpu.train.trainer import (
     create_train_state,
     make_latent_eval_step,
@@ -195,10 +200,16 @@ def run(config: LatentDiffusionConfig) -> dict:
     model = build_denoiser(config, latent_dim, dtype)
     schedule = DiffusionSchedule.linear(config.num_timesteps)
 
-    images, labels = load_mnist(config.data_root, train=True)
-    xt, yt, xv, yv = train_val_split(images, labels, config.val_frac, config.split_seed)
-    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True, seed=config.seed)
-    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False)
+    # uint8 storage + device-side normalize via the prefetch worker.
+    images_u8, labels = load_mnist_u8(config.data_root, train=True)
+    xt, yt, xv, yv = train_val_split(images_u8, labels, config.val_frac,
+                                     config.split_seed)
+    u8 = (MNIST_SCALE, MNIST_SHIFT)
+    train_it = BatchIterator([xt, yt], config.batch_size, shuffle=True,
+                             seed=config.seed, u8_normalize=u8,
+                             device_normalize=True)
+    val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False,
+                           u8_normalize=u8, device_normalize=True)
 
     if config.backbone == "dit":
         # diffusion_transformer.py:176-177, 288: Adam 3e-4 with per-epoch
@@ -232,6 +243,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         vae_params = jax.device_put(vae_params, NamedSharding(mesh, P()))
     train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
     eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
     sampler = make_latent_sampler(
         vae_model, model, schedule, config.n_samples, latent_dim,
         resolve_dtype(config.sample_dtype),
@@ -251,11 +263,13 @@ def run(config: LatentDiffusionConfig) -> dict:
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        for batch_idx, (x0, y) in enumerate(train_it.epoch(epoch)):
+        batches = prefetch_to_device(
+            train_it.epoch(epoch), sharding=batch_sh,
+            transform=train_it.device_transform,
+        )
+        for batch_idx, (x0, y) in enumerate(batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x0, y = shard_batch(mesh, (x0, y))
             state, loss = train_step(state, vae_params, x0, y)
             train_acc.add(loss)
             throughput.add(config.batch_size)
@@ -272,11 +286,12 @@ def run(config: LatentDiffusionConfig) -> dict:
         result["samples_per_sec"] = throughput.samples_per_sec
 
         val_acc = LossAccumulator()
-        for batch_idx, (x0, y) in enumerate(val_it.epoch()):
+        val_batches = prefetch_to_device(
+            val_it.epoch(), sharding=batch_sh, transform=val_it.device_transform
+        )
+        for batch_idx, (x0, y) in enumerate(val_batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x0, y = shard_batch(mesh, (x0, y))
             key = jax.random.fold_in(
                 jax.random.PRNGKey(config.seed + 11), epoch * 10000 + batch_idx
             )

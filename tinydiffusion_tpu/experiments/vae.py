@@ -21,13 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tinydiffusion_tpu.data.loader import BatchIterator
-from tinydiffusion_tpu.data.mnist import load_mnist
+from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
+from tinydiffusion_tpu.data.mnist import MNIST_SCALE, MNIST_SHIFT, load_mnist_u8
 from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.vae_mnist import VAEConfig, VAEMnist, vae_loss
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger
-from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from tinydiffusion_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
 
 
 @flax.struct.dataclass
@@ -100,10 +100,15 @@ def run(config: VAEExperimentConfig) -> dict:
     )
     tx = optax.adam(config.learning_rate)
 
-    train_images, _ = load_mnist(config.data_root, train=True)
-    test_images, _ = load_mnist(config.data_root, train=False)
-    train_it = BatchIterator([train_images], config.batch_size, shuffle=True, seed=config.seed)
-    test_it = BatchIterator([test_images], config.batch_size, shuffle=False)
+    # uint8 storage + device-side normalize via the prefetch worker.
+    train_images, _ = load_mnist_u8(config.data_root, train=True)
+    test_images, _ = load_mnist_u8(config.data_root, train=False)
+    u8 = (MNIST_SCALE, MNIST_SHIFT)
+    train_it = BatchIterator([train_images], config.batch_size, shuffle=True,
+                             seed=config.seed, u8_normalize=u8,
+                             device_normalize=True)
+    test_it = BatchIterator([test_images], config.batch_size, shuffle=False,
+                            u8_normalize=u8, device_normalize=True)
 
     rng, init_rng, state_rng = jax.random.split(rng, 3)
     params = model.init(
@@ -127,14 +132,17 @@ def run(config: VAEExperimentConfig) -> dict:
     n_train = len(train_images) - len(train_images) % config.batch_size
     n_test = len(test_images) - len(test_images) % config.batch_size
 
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
     for epoch in range(1, config.epochs + 1):
         # Train epoch (vae.py:105-126).
         train_acc = LossAccumulator()
-        for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
+        batches = prefetch_to_device(
+            train_it.epoch(epoch), sharding=batch_sh,
+            transform=train_it.device_transform,
+        )
+        for batch_idx, (x,) in enumerate(batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            if mesh is not None:
-                x = shard_batch(mesh, x)
             state, loss = train_step(state, x)
             train_acc.add(loss)
             if batch_idx % config.log_every == 0:
@@ -146,12 +154,13 @@ def run(config: VAEExperimentConfig) -> dict:
 
         # Test epoch (vae.py:129-163) with reconstruction panel on batch 0.
         test_acc = LossAccumulator()
-        for i, (x,) in enumerate(test_it.epoch()):
+        test_batches = prefetch_to_device(
+            test_it.epoch(), sharding=batch_sh, transform=test_it.device_transform
+        )
+        for i, (x,) in enumerate(test_batches):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 7), epoch * 10000 + i)
-            if mesh is not None:
-                x = shard_batch(mesh, x)
             loss, recon = eval_step(state.params, x, key)
             test_acc.add(loss)
             if i == 0:

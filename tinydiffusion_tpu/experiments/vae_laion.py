@@ -32,7 +32,7 @@ from tinydiffusion_tpu.data.laion import (
     load_laion_dataset,
     precache_dataset,
 )
-from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
 from tinydiffusion_tpu.io.checkpoint import BestKeeper
 from tinydiffusion_tpu.models.vae_conv import (
     ConvVAE,
@@ -42,7 +42,7 @@ from tinydiffusion_tpu.models.vae_conv import (
 )
 from tinydiffusion_tpu.obs.images import save_image_grid
 from tinydiffusion_tpu.obs.metrics import LossAccumulator, MetricsLogger
-from tinydiffusion_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from tinydiffusion_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
 
 
 @flax.struct.dataclass
@@ -167,9 +167,10 @@ def run(config: VAELaionConfig) -> dict:
     val_images, train_images = images[:n_val], images[n_val:]
     u8 = (1.0 / 255.0, 0.0)  # ToTensor: [0, 1]
     train_it = BatchIterator([train_images], config.batch_size, shuffle=True,
-                             seed=config.seed, u8_normalize=u8)
+                             seed=config.seed, u8_normalize=u8,
+                             device_normalize=True)
     val_it = BatchIterator([val_images], config.batch_size, shuffle=False,
-                           u8_normalize=u8)
+                           u8_normalize=u8, device_normalize=True)
 
     rng, init_rng, state_rng, z0 = jax.random.split(rng, 4)
     variables = model.init(
@@ -194,17 +195,27 @@ def run(config: VAELaionConfig) -> dict:
     keeper = BestKeeper(f"{config.checkpoint_dir}/vae_laion_best")
     result = {"test_losses": []}
 
-    for epoch in range(1, config.epochs + 1):
-        train_acc, n_seen = LossAccumulator(), 0
-        for batch_idx, (x,) in enumerate(train_it.epoch(epoch)):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            if np.all(x == 0):  # failed-download batches (vae_laion.py:346-350)
+    def nonzero_batches(epoch_iter):
+        """Host-side all-zero-batch skip (failed downloads,
+        vae_laion.py:346-350) — checked on the uint8 bytes BEFORE the
+        prefetch worker ships the batch to the device."""
+        for batch_idx, (x,) in enumerate(epoch_iter):
+            if np.all(x == 0):
                 print(f"Batch {batch_idx} contains all-zero images, skipping.")
                 continue
+            yield (x,)
+
+    batch_sh = batch_sharding(mesh) if mesh is not None else None
+    for epoch in range(1, config.epochs + 1):
+        train_acc, n_seen = LossAccumulator(), 0
+        batches = prefetch_to_device(
+            nonzero_batches(train_it.epoch(epoch)), sharding=batch_sh,
+            transform=train_it.device_transform,
+        )
+        for batch_idx, (x,) in enumerate(batches):
+            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                break
             batch_len = len(x)
-            if mesh is not None:
-                x = shard_batch(mesh, x)
             state, loss, components = train_step(state, x)
             train_acc.add(loss)
             n_seen += batch_len
@@ -223,14 +234,14 @@ def run(config: VAELaionConfig) -> dict:
         avg_train = train_acc.sum() / max(n_seen, 1)
 
         test_acc, n_test = LossAccumulator(), 0
-        for i, (x,) in enumerate(val_it.epoch()):
+        val_batches = prefetch_to_device(
+            nonzero_batches(val_it.epoch()), sharding=batch_sh,
+            transform=val_it.device_transform,
+        )
+        for i, (x,) in enumerate(val_batches):
             if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
                 break
-            if np.all(x == 0):
-                continue
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 5), epoch * 1000 + i)
-            if mesh is not None:
-                x = shard_batch(mesh, x)
             loss, recon = eval_step(state.params, state.batch_stats, x, key)
             test_acc.add(loss)
             n_test += len(x)
