@@ -9,6 +9,7 @@ to 25 steps to keep the torch side fast on this 1-core CPU — the update rule
 is identical at every t, so step count does not change what is tested.
 """
 
+import importlib.machinery
 import sys
 import types
 
@@ -21,7 +22,11 @@ for name in [
     "torchvision", "torchvision.transforms", "torchvision.utils",
     "torchvision.datasets", "wandb",
 ]:
-    sys.modules.setdefault(name, types.ModuleType(name))
+    mod = types.ModuleType(name)
+    # A None __spec__ breaks later importlib.util.find_spec(name) probes
+    # (transformers checks torchvision that way) with a ValueError.
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules.setdefault(name, mod)
 _tv = sys.modules["torchvision"]
 _tv.transforms = sys.modules["torchvision.transforms"]
 _tv.utils = sys.modules["torchvision.utils"]

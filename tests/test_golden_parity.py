@@ -8,6 +8,7 @@ weights => identical eps-predictions => identical sampling chains given the
 same noise stream.
 """
 
+import importlib.machinery
 import sys
 import types
 
@@ -24,7 +25,12 @@ for name in [
     "torchvision", "torchvision.transforms", "torchvision.utils",
     "torchvision.datasets", "wandb",
 ]:
-    sys.modules.setdefault(name, types.ModuleType(name))
+    mod = types.ModuleType(name)
+    # A None __spec__ makes importlib.util.find_spec(name) raise ValueError
+    # in ANY later import (transformers probes torchvision that way);
+    # a loaderless ModuleSpec keeps the stub inert but probe-safe.
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules.setdefault(name, mod)
 
 
 class _FakeMNIST:
