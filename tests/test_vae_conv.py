@@ -116,3 +116,15 @@ def test_conv_vae_trains(vae):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_logvar_clamped_at_extreme_inputs(vae):
+    """Round-2 stabilization: the reference's unbounded logvar NaNs out
+    mid-training at the 256x256 recipe; encode must clamp to [-30, 20]
+    (the SD AutoencoderKL convention) so exp(logvar) stays finite."""
+    model, variables = vae
+    x = jnp.full((2, SIZE, SIZE, 3), 1e6, jnp.float32)
+    mu, logvar = model.apply(variables, x, train=False, method=ConvVAE.encode)
+    assert float(logvar.max()) <= 20.0
+    assert float(logvar.min()) >= -30.0
+    assert np.isfinite(np.asarray(jnp.exp(logvar))).all()

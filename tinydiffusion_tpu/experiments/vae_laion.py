@@ -63,6 +63,11 @@ class VAELaionConfig(ConvVAEConfig):
     use_flash_attention: bool = True
     max_steps_per_epoch: int = 0
     offline: bool = True
+    # Documented deviation: the reference trains unclipped and NaNs out at
+    # the full 256x256 recipe (it only prints the NaN components,
+    # vae_laion.py:220-227). Global-norm clipping keeps the recipe trainable;
+    # 0 disables for strict parity.
+    clip_norm: float = 10.0
 
 
 def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
@@ -161,6 +166,8 @@ def run(config: VAELaionConfig) -> dict:
     )["params"]
 
     tx = optax.adam(config.learning_rate)
+    if config.clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(config.clip_norm), tx)
 
     images = load_images(config)
     n_val = max(len(images) // 10, 1)

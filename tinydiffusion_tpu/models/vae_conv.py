@@ -245,7 +245,12 @@ class ConvVAE(nn.Module):
             if i < 2:
                 h = self.enc_attn[i](h)
         h = h.reshape(h.shape[0], -1)
-        return self.fc_mu(h), self.fc_logvar(h)
+        # The reference leaves logvar unbounded and NaNs out mid-training at
+        # the full 256x256 recipe (its own NaN-component print at
+        # vae_laion.py:220-227 is the tell); clamp exactly like SD's
+        # AutoencoderKL DiagonalGaussianDistribution does. No-op at healthy
+        # magnitudes, so torch-parity tests are unaffected.
+        return self.fc_mu(h), jnp.clip(self.fc_logvar(h), -30.0, 20.0)
 
     def reparameterize(self, mu, logvar, key):
         std = jnp.exp(0.5 * logvar)
