@@ -82,6 +82,12 @@ class LaionDiffusionConfig:
     sample_every_epoch: bool = True
     offline: bool = True
     max_steps_per_epoch: int = 0
+    # Cosine T_max in scheduler STEPS (the reference quirk steps an
+    # epoch-scaled scheduler per batch, T_max=num_epochs,
+    # conditional_diffusion_laion.py:435-438/473). 0 = num_epochs (faithful).
+    # Setting it explicitly lets a shorter run keep the reference's
+    # T_max=1000 lr trajectory instead of compressing the decay.
+    scheduler_t_max: int = 0
 
 
 SAMPLE_PROMPTS = [
@@ -236,13 +242,14 @@ def run(config: LaionDiffusionConfig) -> dict:
 
     # Cosine decay to lr_min over num_epochs STEPS, stepped per batch —
     # faithful to the reference's scheduler quirk (see module docstring).
+    t_max = config.scheduler_t_max or config.num_epochs
     lr_schedule = optax.cosine_decay_schedule(
-        config.lr, decay_steps=max(config.num_epochs, 1),
+        config.lr, decay_steps=max(t_max, 1),
         alpha=config.lr_min / config.lr,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(config.clip_norm),
-        optax.adam(lambda step: lr_schedule(jnp.minimum(step, config.num_epochs))),
+        optax.adam(lambda step: lr_schedule(jnp.minimum(step, t_max))),
     )
 
     rng, init_rng = jax.random.split(rng)

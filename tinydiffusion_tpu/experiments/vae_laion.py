@@ -215,6 +215,7 @@ def run(config: VAELaionConfig) -> dict:
     batch_sh = batch_sharding(mesh) if mesh is not None else None
     for epoch in range(1, config.epochs + 1):
         train_acc, n_seen = LossAccumulator(), 0
+        comp_acc: dict = {}
         batches = prefetch_to_device(
             nonzero_batches(train_it.epoch(epoch)), sharding=batch_sh,
             transform=train_it.device_transform,
@@ -225,6 +226,11 @@ def run(config: VAELaionConfig) -> dict:
             batch_len = len(x)
             state, loss, components = train_step(state, x)
             train_acc.add(loss)
+            # Buffer every batch's components on-device (no sync — the
+            # 256x256 recipe's blow-ups land BETWEEN log points, so
+            # log-cadence snapshots alone miss them).
+            for k, v in components.items():
+                comp_acc.setdefault(k, LossAccumulator()).add(v)
             n_seen += batch_len
             if batch_idx % config.log_interval == 0:
                 comp = {k: float(v) for k, v in components.items()}
@@ -239,8 +245,13 @@ def run(config: VAELaionConfig) -> dict:
         # One epoch-end fetch of all losses (completion fence included —
         # donated chained state), instead of a host sync per step.
         avg_train = train_acc.sum() / max(n_seen, 1)
+        comp_max = {
+            f"{k}_epoch_max": float(np.max(acc.values()))
+            for k, acc in comp_acc.items()
+        }
 
         test_acc, n_test = LossAccumulator(), 0
+        test_sizes: list = []
         val_batches = prefetch_to_device(
             nonzero_batches(val_it.epoch()), sharding=batch_sh,
             transform=val_it.device_transform,
@@ -251,6 +262,7 @@ def run(config: VAELaionConfig) -> dict:
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 5), epoch * 1000 + i)
             loss, recon = eval_step(state.params, state.batch_stats, x, key)
             test_acc.add(loss)
+            test_sizes.append(len(x))
             n_test += len(x)
             if i == 0:
                 n_img = min(config.n_images_to_log, len(x))
@@ -262,15 +274,33 @@ def run(config: VAELaionConfig) -> dict:
                 )
                 save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
                 logger.log_image("original_vs_reconstructed", panel_path)
+        eval_bad = 0
         if n_test == 0:
             # Tiny configs can leave the 10% val split with zero full
             # batches; fall back to train loss for the best-model policy
             # rather than recording a spurious 0.
             avg_test = avg_train
         else:
-            avg_test = test_acc.sum() / n_test
+            # Average over FINITE eval batches only: the eval path (running
+            # BN stats + a sampled z) overflows on epochs that end near a
+            # transient latent blow-up, and one Inf batch would otherwise
+            # report test_loss=Inf for the epoch and blind best-model
+            # selection. The skip is logged, never silent.
+            vals = test_acc.values()
+            sizes = np.asarray(test_sizes, np.float64)
+            finite = np.isfinite(vals)
+            eval_bad = int((~finite).sum())
+            if eval_bad:
+                print(f"Epoch {epoch}: {eval_bad}/{len(vals)} eval batches "
+                      "non-finite, excluded from test loss")
+            avg_test = (
+                float(vals[finite].sum() / sizes[finite].sum())
+                if finite.any() else float("inf")
+            )
         result["test_losses"].append(avg_test)
-        logger.log({"epoch": epoch, "train_loss": avg_train, "test_loss": avg_test})
+        logger.log({"epoch": epoch, "train_loss": avg_train,
+                    "test_loss": avg_test,
+                    "eval_nonfinite_batches": eval_bad, **comp_max})
         if keeper.update(avg_test, state, config=dataclasses.asdict(config), epoch=epoch):
             print(f"Saved best model (epoch {epoch}, loss {avg_test:.4f})")
 

@@ -294,4 +294,11 @@ def conv_vae_loss(
     perc = jnp.sum((recon_features - target_features) ** 2)
     kld = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))
     total = bce + 0.1 * perc + beta * kld
-    return total, {"bce": bce, "perceptual": perc, "kld": kld}
+    # logvar_max / mu_absmax ride along as cheap on-device reductions: the
+    # 256x256 recipe shows episodic latent blow-ups BETWEEN log points
+    # (huge-but-finite train batches, Inf eval) and these pin down which
+    # term walked off without any extra host sync.
+    return total, {
+        "bce": bce, "perceptual": perc, "kld": kld,
+        "logvar_max": jnp.max(logvar), "mu_absmax": jnp.max(jnp.abs(mu)),
+    }

@@ -124,6 +124,27 @@ class LossAccumulator:
     def mean(self) -> float:
         return float(self._fetch().mean()) if self._vals else 0.0
 
+    def values(self):
+        """All buffered values as a host array (one bulk fetch) — for
+        epoch-end robust statistics (maxima, non-finite filtering)."""
+        import numpy as np
+
+        return self._fetch() if self._vals else np.zeros((0,), np.float64)
+
+    def finite_mean_and_bad_count(self):
+        """Mean over FINITE entries + how many were non-finite.
+
+        Episodic latent blow-ups can leave a handful of Inf eval batches;
+        averaging them in reports test_loss=Inf for the whole epoch and
+        blinds best-model selection. Callers log the bad count so the skip
+        is visible, not silent."""
+        import numpy as np
+
+        vals = self.values()
+        finite = vals[np.isfinite(vals)]
+        bad = int(len(vals) - len(finite))
+        return (float(finite.mean()) if len(finite) else float("inf")), bad
+
     def reset(self) -> None:
         self._vals: list = []
 

@@ -45,6 +45,20 @@ def _flops_of(jitted, *args) -> float:
     return float(cost["flops"])
 
 
+def _hbm_of(jitted, *args) -> dict:
+    """Compiled-program HBM footprint from XLA's memory analysis (bytes)."""
+    mem = jitted.lower(*args).compile().memory_analysis()
+    if mem is None:
+        return {}
+    out = {}
+    for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "generated_code_size_in_bytes"):
+        v = getattr(mem, k, None)
+        if v is not None:
+            out[k.replace("_size_in_bytes", "_mb")] = round(v / 2**20, 1)
+    return out
+
+
 def mfu_unet28(batch: int = 128) -> dict:
     """The bench.py headline step: UNet28 DDPM train, batch 128."""
     from tinydiffusion_tpu.core.schedule import DiffusionSchedule
@@ -62,6 +76,7 @@ def mfu_unet28(batch: int = 128) -> dict:
         np.random.default_rng(0).standard_normal((batch, 28, 28, 1)), jnp.float32
     )
     flops = _flops_of(step, state, x0)
+    hbm = _hbm_of(step, state, x0)
     dt = _time_step(step, state, (x0,))
     return {
         "model": "unet28_train_b128",
@@ -69,6 +84,7 @@ def mfu_unet28(batch: int = 128) -> dict:
         "step_ms": round(dt * 1e3, 3),
         "tflops_per_sec": round(flops / dt / 1e12, 2),
         "mfu_vs_bf16_peak": round(flops / dt / V5E_BF16_PEAK_FLOPS, 4),
+        **hbm,
     }
 
 
@@ -103,6 +119,7 @@ def mfu_vae256(batch: int = 4) -> dict:
     )
     # Donated state: re-create for timing after the cost analysis pass.
     flops = _flops_of(step, state, x)
+    hbm = _hbm_of(step, state, x)
     dt_state = ConvVAETrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -122,6 +139,7 @@ def mfu_vae256(batch: int = 4) -> dict:
         "step_ms": round(dt * 1e3, 3),
         "tflops_per_sec": round(flops / dt / 1e12, 2),
         "mfu_vs_bf16_peak": round(flops / dt / V5E_BF16_PEAK_FLOPS, 4),
+        **hbm,
     }
 
 
