@@ -119,3 +119,27 @@ def test_conditional_diffusion_laion_smoke(tmp_path):
     result = run(cfg)
     assert np.isfinite(result["val_losses"]).all()
     assert os.path.exists(tmp_path / "out" / "samples_epoch_0.png")
+
+
+@pytest.mark.slow
+def test_conditional_diffusion_laion_multistep_smoke(tmp_path):
+    """steps_per_dispatch > 1: K-grouped scanned dispatches + the tail
+    batches that never fill a group both train, and losses stay finite."""
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        LaionDiffusionConfig,
+        run,
+    )
+
+    cfg = LaionDiffusionConfig(
+        num_epochs=1, batch_size=2, num_timesteps=10, image_size=64,
+        latent_size=32, n_records=14,
+        out_dir=str(tmp_path / "out"),
+        image_cache_dir=str(tmp_path / "cache"),
+        failed_urls_cache=str(tmp_path / "failed.json"),
+        model_save_path=str(tmp_path / "ckpt" / "best"),
+        compute_dtype="float32", max_steps_per_epoch=5,
+        sample_every_batches=0, sample_every_epoch=False, latent_codec="patch",
+        text_encoder="hash", steps_per_dispatch=2,
+    )
+    result = run(cfg)
+    assert np.isfinite(result["val_losses"]).all()

@@ -120,11 +120,13 @@ def test_conv_vae_trains(vae):
 
 def test_logvar_clamped_at_extreme_inputs(vae):
     """Round-2 stabilization: the reference's unbounded logvar NaNs out
-    mid-training at the 256x256 recipe; encode must clamp to [-30, 20]
-    (the SD AutoencoderKL convention) so exp(logvar) stays finite."""
+    mid-training at the 256x256 recipe; encode must clamp to [-30, 10]
+    (the SD AutoencoderKL convention, tightened at the top end after
+    instrumented runs showed logvar walking to +20 and the eval decode of
+    z ~ mu + e^10*eps overflowing) so exp(logvar) stays tame."""
     model, variables = vae
     x = jnp.full((2, SIZE, SIZE, 3), 1e6, jnp.float32)
     mu, logvar = model.apply(variables, x, train=False, method=ConvVAE.encode)
-    assert float(logvar.max()) <= 20.0
+    assert float(logvar.max()) <= 10.0
     assert float(logvar.min()) >= -30.0
     assert np.isfinite(np.asarray(jnp.exp(logvar))).all()

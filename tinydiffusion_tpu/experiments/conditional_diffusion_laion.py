@@ -88,6 +88,11 @@ class LaionDiffusionConfig:
     # Setting it explicitly lets a shorter run keep the reference's
     # T_max=1000 lr trajectory instead of compressing the decay.
     scheduler_t_max: int = 0
+    # K training batches per device dispatch (lax.scan inside one jitted
+    # program) — amortizes the ~1 ms per-dispatch tunnel RTT that dominates
+    # this tiny latent-UNet step. 1 = reference-faithful per-batch dispatch.
+    # Setting it to log_every keeps the batch-loss logging cadence identical.
+    steps_per_dispatch: int = 1
 
 
 SAMPLE_PROMPTS = [
@@ -98,9 +103,17 @@ SAMPLE_PROMPTS = [
 ]
 
 
-def make_laion_train_step(model, tx, schedule, codec, mesh=None):
+def make_laion_train_step(model, tx, schedule, codec, mesh=None,
+                          steps_per_dispatch: int = 1):
     """Jitted step over (images, text_embeds): codec-encode -> q_sample ->
-    UNet -> clipped Adam update, one SPMD program."""
+    UNet -> clipped Adam update, one SPMD program.
+
+    ``steps_per_dispatch`` > 1 returns a multi-step program instead:
+    ``step(state, images_k, embeds_k) -> (state, losses_k)`` scanning K
+    stacked batches inside ONE dispatch (leading axis K). The 4x32x32
+    LatentUNet step is ~3 ms of compute but each dispatch pays ~1 ms of
+    host-tunnel RTT on this backend — scanning K batches amortizes it
+    (see train.trainer.make_multi_step for the equivalence argument)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def step_fn(state: DiffusionTrainState, images, text_embeds):
@@ -131,11 +144,23 @@ def make_laion_train_step(model, tx, schedule, codec, mesh=None):
             loss,
         )
 
+    if steps_per_dispatch > 1:
+        def fn(state, images_k, embeds_k):
+            def body(s, xe):
+                s2, loss = step_fn(s, xe[0], xe[1])
+                return s2, loss
+
+            return jax.lax.scan(body, state, (images_k, embeds_k))
+
+        data_spec = P(None, "data")  # (K, B, ...) — batch dim is axis 1
+    else:
+        fn, data_spec = step_fn, P("data")
+
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=0)
+        return jax.jit(fn, donate_argnums=0)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step_fn, donate_argnums=0,
+    data = NamedSharding(mesh, data_spec)
+    return jax.jit(fn, donate_argnums=0,
                    in_shardings=(repl, data, data), out_shardings=(repl, repl))
 
 
@@ -271,7 +296,15 @@ def run(config: LaionDiffusionConfig) -> dict:
                   "starting from scratch")
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    train_step = make_laion_train_step(model, tx, schedule, codec, mesh)
+    k_dispatch = max(config.steps_per_dispatch, 1)
+    train_step = make_laion_train_step(model, tx, schedule, codec, mesh,
+                                       steps_per_dispatch=k_dispatch)
+    # Tail batches that don't fill a K-group run through the per-batch
+    # program (compiled once, reused every epoch).
+    single_step = (
+        train_step if k_dispatch == 1
+        else make_laion_train_step(model, tx, schedule, codec, mesh)
+    )
     eval_step = make_laion_eval_step(model, schedule, codec, mesh)
     sampler = make_laion_sampler(
         model, schedule, codec, len(SAMPLE_PROMPTS), config.latent_size,
@@ -293,23 +326,43 @@ def run(config: LaionDiffusionConfig) -> dict:
             train_it.epoch(epoch), sharding=batch_sh,
             transform=train_it.device_transform,
         )
+        group: list = []
+
+        def flush_group(state):
+            xs = jnp.stack([g[0] for g in group])
+            es = jnp.stack([g[1] for g in group])
+            state, losses = train_step(state, xs, es)
+            for j in range(len(group)):
+                train_acc.add(losses[j])
+            group.clear()
+            return state
+
         for batch_idx, (x, emb) in enumerate(batches):
             if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
                 break
-            state, loss = train_step(state, x, emb)
-            train_acc.add(loss)
+            if k_dispatch > 1:
+                group.append((x, emb))
+                if len(group) == k_dispatch:
+                    state = flush_group(state)
+            else:
+                state, loss = single_step(state, x, emb)
+                train_acc.add(loss)
             throughput.add(config.batch_size)
-            if batch_idx % config.log_every == 0:
+            dispatched = not group
+            if dispatched and batch_idx % config.log_every < (k_dispatch if k_dispatch > 1 else 1):
                 logger.log({"epoch": epoch, "batch": batch_idx,
                             "batch_train_loss": train_acc.last()})
-            if config.sample_every_batches and batch_idx > 0 and (
-                batch_idx % config.sample_every_batches == 0
+            if config.sample_every_batches and batch_idx > 0 and dispatched and (
+                batch_idx % config.sample_every_batches < k_dispatch
             ):
                 rng, s_key = jax.random.split(rng)
                 imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
                 path = f"{config.out_dir}/sampled_epoch{epoch}_batch{batch_idx}.png"
                 save_image_grid(np.asarray(imgs), path, nrow=2, normalize=False)
                 logger.log_image("sampled_images", path)
+        for x, emb in group:  # tail that never filled a K-group
+            state, loss = single_step(state, x, emb)
+            train_acc.add(loss)
         # Single epoch-end fetch doubles as the completion fence (donated
         # chained state) — honest loop-level throughput.
         avg_train = train_acc.mean()

@@ -247,10 +247,14 @@ class ConvVAE(nn.Module):
         h = h.reshape(h.shape[0], -1)
         # The reference leaves logvar unbounded and NaNs out mid-training at
         # the full 256x256 recipe (its own NaN-component print at
-        # vae_laion.py:220-227 is the tell); clamp exactly like SD's
-        # AutoencoderKL DiagonalGaussianDistribution does. No-op at healthy
-        # magnitudes, so torch-parity tests are unaffected.
-        return self.fc_mu(h), jnp.clip(self.fc_logvar(h), -30.0, 20.0)
+        # vae_laion.py:220-227 is the tell). Clamp like SD's AutoencoderKL
+        # DiagonalGaussianDistribution, but at +10 instead of SD's +20:
+        # instrumented 256^2 runs show logvar transiently WALKING TO the +20
+        # bound (KLD spikes to ~2e8 and the eval path, which decodes a
+        # z ~ mu + e^10 * eps sample, overflows to Inf). Healthy logvar here
+        # is <= ~1.5, so +10 (std e^5) is still far out of the signal range
+        # while keeping the blow-up decodable. No-op for torch-parity tests.
+        return self.fc_mu(h), jnp.clip(self.fc_logvar(h), -30.0, 10.0)
 
     def reparameterize(self, mu, logvar, key):
         std = jnp.exp(0.5 * logvar)

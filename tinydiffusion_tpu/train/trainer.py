@@ -60,49 +60,17 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _raw_step_fn(
     model,
     tx: optax.GradientTransformation,
     schedule: DiffusionSchedule,
     conditional: bool = False,
-    mesh: Optional[Mesh] = None,
-    state_sharding: Any = None,
     fused_qsample: bool = False,
 ) -> Callable:
-    """Build the jitted train step.
-
-    Returns ``step(state, x0[, y]) -> (state, loss)``. ``x0`` is NHWC (or
-    ``(B, D)`` latents); ``y`` is the conditioning tensor for conditional
-    models.
-
-    ``state_sharding`` (optional, requires ``mesh``): per-leaf NamedShardings
-    for the train state — pass ``parallel.mesh.infer_state_sharding(state,
-    mesh, "model")`` to run tensor-parallel over the ``model`` axis (params,
-    BN stats, and optimizer moments sharded on their feature dim; XLA
-    propagates the activation layouts and inserts the collectives).
-
-    ``fused_qsample``: generate the noising Gaussian INSIDE a Pallas kernel
-    with the TPU hardware PRNG and emit (x_t, noise) in one pass over the
-    batch (ops/qsample.py) instead of ``jax.random.normal`` + scale-add.
-    Statistically identical N(0, I) noise, but a DIFFERENT stream than
-    ``jax.random`` — opt-in for throughput training only; parity/replay
-    paths must keep the default. Off-TPU it falls back to the jax.random
-    path. Single-device/1-chip meshes only (the kernel does not partition).
-    """
+    """The unjitted per-batch train step shared by ``make_train_step``
+    (jit of one batch) and ``make_multi_step`` (lax.scan over K batches)."""
     if fused_qsample:
         from tinydiffusion_tpu.ops.qsample import q_sample_fused
-
-        # The Pallas kernel does not partition over a mesh (the off-TPU
-        # fallback is plain q_sample, which does).
-        if (
-            mesh is not None
-            and mesh.devices.size > 1
-            and jax.default_backend() == "tpu"
-        ):
-            raise ValueError(
-                "fused_qsample does not partition over a multi-device mesh; "
-                "use the default q_sample path under DP/TP"
-            )
 
     def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
         rng, t_key, noise_key, drop_key = jax.random.split(state.rng, 4)
@@ -140,11 +108,113 @@ def make_train_step(
         )
         return new_state, loss
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    conditional: bool = False,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+    fused_qsample: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step(state, x0[, y]) -> (state, loss)``. ``x0`` is NHWC (or
+    ``(B, D)`` latents); ``y`` is the conditioning tensor for conditional
+    models.
+
+    ``state_sharding`` (optional, requires ``mesh``): per-leaf NamedShardings
+    for the train state — pass ``parallel.mesh.infer_state_sharding(state,
+    mesh, "model")`` to run tensor-parallel over the ``model`` axis (params,
+    BN stats, and optimizer moments sharded on their feature dim; XLA
+    propagates the activation layouts and inserts the collectives).
+
+    ``fused_qsample``: generate the noising Gaussian INSIDE a Pallas kernel
+    with the TPU hardware PRNG and emit (x_t, noise) in one pass over the
+    batch (ops/qsample.py) instead of ``jax.random.normal`` + scale-add.
+    Statistically identical N(0, I) noise, but a DIFFERENT stream than
+    ``jax.random`` — opt-in for throughput training only; parity/replay
+    paths must keep the default. Off-TPU it falls back to the jax.random
+    path. Single-device/1-chip meshes only (the kernel does not partition).
+    """
+    if fused_qsample:
+        # The Pallas kernel does not partition over a mesh (the off-TPU
+        # fallback is plain q_sample, which does).
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and jax.default_backend() == "tpu"
+        ):
+            raise ValueError(
+                "fused_qsample does not partition over a multi-device mesh; "
+                "use the default q_sample path under DP/TP"
+            )
+
+    step_fn = _raw_step_fn(model, tx, schedule, conditional, fused_qsample)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_in = state_sharding if state_sharding is not None else repl
+    n_in = 3 if conditional else 2
+    in_shardings = (state_in,) + (data,) * (n_in - 1)
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=in_shardings,
+        out_shardings=(state_in, repl),
+    )
+
+
+def make_multi_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    k: int,
+    conditional: bool = False,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+) -> Callable:
+    """K train steps per dispatch: ``step(state, x0s[, ys]) -> (state, losses)``.
+
+    ``x0s`` is (K, B, ...) — K batches stacked on a leading axis, executed as
+    ONE jitted program via ``lax.scan`` over the same per-batch logic as
+    ``make_train_step``. Bitwise-identical to K sequential single-step calls
+    (the PRNG threads through the carried state either way — see
+    tests/test_trainer_multistep.py).
+
+    Why: each dispatch on this backend pays ~1 ms of host-tunnel RTT, which
+    dominates small-model steps (the 4x32x32 LatentUNet step is ~3 ms of
+    compute). Scanning K steps inside the program pays the RTT once per K
+    batches; the returned (K,) losses keep per-batch logging exact.
+    """
+    single = _raw_step_fn(model, tx, schedule, conditional)
+
+    def step_fn(state: DiffusionTrainState, x0s: jnp.ndarray, ys=None):
+        if conditional:
+            def body(s, xy):
+                s2, loss = single(s, xy[0], xy[1])
+                return s2, loss
+
+            new_state, losses = jax.lax.scan(body, state, (x0s, ys))
+        else:
+            def body(s, x0):
+                s2, loss = single(s, x0)
+                return s2, loss
+
+            new_state, losses = jax.lax.scan(body, state, x0s)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    # batch dim is axis 1 of the stacked (K, B, ...) operand
+    data = NamedSharding(mesh, P(None, "data"))
     state_in = state_sharding if state_sharding is not None else repl
     n_in = 3 if conditional else 2
     in_shardings = (state_in,) + (data,) * (n_in - 1)
