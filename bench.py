@@ -238,6 +238,63 @@ def main():
             "train_samples_per_sec_fused": round(TRAIN_STEPS * BATCH / fdt / n_chips, 1),
         }
 
+    # HBM-resident dataset path: the whole uint8 dataset pinned on device,
+    # batches gathered + normalized INSIDE the scanned epoch program — the
+    # loop-vs-step gap above is per-batch H2D + dispatch overhead, and this
+    # is the shipped fix (data/device.DeviceDataset + make_resident_multi_step).
+    from tinydiffusion_tpu.data.device import DeviceDataset
+    from tinydiffusion_tpu.train.trainer import make_resident_multi_step
+
+    dds = DeviceDataset([data_u8], BATCH, shuffle=True, seed=0,
+                        u8_normalize=(2.0 / 255.0, -1.0))
+    resident = make_resident_multi_step(model, tx, schedule, dds)
+    state_r = create_train_state(model, tx, example, jax.random.PRNGKey(9))
+    state_r, rl = resident(state_r, jnp.asarray(dds.epoch_index_batches(0)))
+    force(rl)
+    n_res_steps = 0
+    t0 = time.perf_counter()
+    for ep in range(1, 4):
+        idxs = jnp.asarray(dds.epoch_index_batches(ep))
+        state_r, rl = resident(state_r, idxs)
+        n_res_steps += idxs.shape[0]
+    force(rl)
+    resident_dt = time.perf_counter() - t0
+    resident_sps = n_res_steps * BATCH / resident_dt / n_chips
+
+    # Multi-step dispatch on a small-model step (the LatentUNet scale, where
+    # per-dispatch tunnel overhead dominates compute): K=8 scanned batches
+    # per dispatch vs one dispatch per batch (train.trainer.make_multi_step).
+    from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
+    from tinydiffusion_tpu.train.trainer import make_multi_step
+
+    K, LB, LD = 8, 128, 20
+    lat_model = MLPUNetLatent(latent_dim=LD, dtype=jnp.bfloat16)
+    ly = jnp.zeros((LB,), jnp.int32)
+    lat_example = (jnp.zeros((LB, LD), jnp.float32), ly, ly)
+    lrng = np.random.default_rng(2)
+    lx = jnp.asarray(lrng.standard_normal((K, LB, LD)), jnp.float32)
+    lys = jnp.asarray(lrng.integers(0, 10, (K, LB)), jnp.int32)
+
+    lat_single = make_train_step(lat_model, tx, schedule, conditional=True)
+    lat_multi = make_multi_step(lat_model, tx, schedule, k=K, conditional=True)
+    ls = create_train_state(lat_model, tx, lat_example, jax.random.PRNGKey(11))
+    lm = create_train_state(lat_model, tx, lat_example, jax.random.PRNGKey(11))
+    for i in range(K):
+        ls, l1 = lat_single(ls, lx[i], lys[i])
+    lm, l2 = lat_multi(lm, lx, lys)
+    force(l1), force(l2)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        for i in range(K):
+            ls, l1 = lat_single(ls, lx[i], lys[i])
+    force(l1)
+    dt_lat_single = (time.perf_counter() - t0) / (20 * K)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        lm, l2 = lat_multi(lm, lx, lys)
+    force(l2)
+    dt_lat_multi = (time.perf_counter() - t0) / (20 * K)
+
     # Full 1000-step on-device sampling chain (reference recipe: 16 images)
     # in fp32 — THE SHIPPED DEFAULT (every experiment's sample_dtype).
     def time_sampler(dtype, n):
@@ -270,6 +327,7 @@ def main():
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
                 "train_samples_per_sec_loop": round(loop_sps, 1),
+                "train_samples_per_sec_resident_data": round(resident_sps, 1),
                 "train_samples_per_sec_b512": round(big_sps, 1),
                 **fused_stats,
                 "sample_1000step_images_per_sec_fp32": round(images_per_sec, 3),
@@ -277,6 +335,9 @@ def main():
                 "sample_1000step_images_per_sec_bf16": round(images_per_sec_bf16, 3),
                 "sample_chain_seconds_fp32": round(sample_dt, 3),
                 "train_step_ms": round(train_dt / TRAIN_STEPS * 1e3, 3),
+                "latent_step_ms_single_dispatch": round(dt_lat_single * 1e3, 3),
+                "latent_step_ms_k8_dispatch": round(dt_lat_multi * 1e3, 3),
+                "multistep_speedup_k8": round(dt_lat_single / dt_lat_multi, 2),
                 **checks,
                 "n_chips": n_chips,
                 "device": str(jax.devices()[0]),

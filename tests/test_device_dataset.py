@@ -1,0 +1,82 @@
+"""DeviceDataset: HBM-resident batches replay the host BatchIterator stream
+bit-identically, and make_resident_multi_step trains identically to
+single-step dispatches over the same batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+from tinydiffusion_tpu.data.device import DeviceDataset
+from tinydiffusion_tpu.data.loader import BatchIterator
+from tinydiffusion_tpu.models.mlp_unet import MLPUNetLatent
+from tinydiffusion_tpu.train.trainer import (
+    create_train_state,
+    make_resident_multi_step,
+    make_train_step,
+)
+
+N, B, D = 50, 8, 20
+
+
+def _data(rng):
+    imgs = rng.integers(0, 256, (N, D), dtype=np.uint8)
+    labels = rng.integers(0, 10, (N,)).astype(np.int32)
+    return imgs, labels
+
+
+def test_resident_batches_match_host_iterator(rng):
+    imgs, labels = _data(rng)
+    u8 = (2.0 / 255.0, -1.0)
+
+    host_it = BatchIterator([imgs, labels], B, shuffle=True, seed=3,
+                            u8_normalize=u8)
+    ds = DeviceDataset([imgs, labels], B, shuffle=True, seed=3,
+                       u8_normalize=u8)
+
+    idxs = ds.epoch_index_batches(epoch=2)
+    gathered = [jax.jit(ds.gather)(jnp.asarray(i)) for i in idxs]
+    for (hx, hy), (dx, dy) in zip(host_it.epoch(2), gathered):
+        np.testing.assert_allclose(np.asarray(dx), hx, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(dy), hy)
+
+
+def test_resident_multi_step_matches_single_steps(rng):
+    imgs, labels = _data(rng)
+    u8 = (2.0 / 255.0, -1.0)
+    ds = DeviceDataset([imgs, labels], B, shuffle=True, seed=0,
+                       u8_normalize=u8)
+    idxs = jnp.asarray(ds.epoch_index_batches(epoch=0))
+
+    schedule = DiffusionSchedule.linear(50)
+    model = MLPUNetLatent(latent_dim=D)
+    # SGD: Adam's ~sign(g) early steps amplify the rounding of XLA's
+    # different normalize-fusion inside the scanned program into
+    # visible drift (same rule as the mesh equivalence tests).
+    tx = optax.sgd(1e-2)
+    y0 = jnp.zeros((B,), jnp.int32)
+    example = (jnp.zeros((B, D), jnp.float32), y0, y0)
+
+    s_res = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    resident = make_resident_multi_step(model, tx, schedule, ds,
+                                        conditional=True)
+    s_res, losses_res = resident(s_res, idxs)
+
+    s_host = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    single = make_train_step(model, tx, schedule, conditional=True)
+    losses_host = []
+    for i in np.asarray(idxs):
+        x = jnp.asarray(imgs[i]).astype(jnp.float32) * u8[0] + u8[1]
+        s_host, loss = single(s_host, x, jnp.asarray(labels[i]))
+        losses_host.append(float(loss))
+
+    # In-program gather+normalize fuses differently than the standalone
+    # normalize op (rounding seeds compound over steps even under SGD), so
+    # training matches at fp tolerance, not bitwise; batch COMPOSITION is
+    # exact (test above).
+    np.testing.assert_allclose(np.asarray(losses_res), np.asarray(losses_host),
+                               rtol=2e-2, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_res.params), jax.tree.leaves(s_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)

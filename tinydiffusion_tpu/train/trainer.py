@@ -226,6 +226,40 @@ def make_multi_step(
     )
 
 
+def make_resident_multi_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    dataset,
+    conditional: bool = False,
+) -> Callable:
+    """Train over an HBM-resident dataset: ``step(state, idxs) -> (state,
+    losses)`` where ``idxs`` is (K, B) int32 from
+    ``data.device.DeviceDataset.epoch_index_batches``.
+
+    Each scanned iteration gathers its batch from the device-pinned uint8
+    arrays and normalizes in-program (XLA fuses gather + normalize + stem),
+    so the ONLY per-epoch H2D traffic is the index array. With K = a whole
+    epoch this removes both the per-step dispatch overhead (~6 ms measured
+    on this tunnel) and the per-step upload — bench.py reports the loop
+    running at resident-step rate.
+
+    Single-program-instance data: the dataset's device arrays ride in the
+    closure (hoisted by jit as constants, not re-uploaded per call).
+    """
+    single = _raw_step_fn(model, tx, schedule, conditional)
+
+    def step_fn(state: DiffusionTrainState, idxs: jnp.ndarray):
+        def body(s, idx):
+            batch = dataset.gather(idx)
+            s2, loss = single(s, *batch)
+            return s2, loss
+
+        return jax.lax.scan(body, state, idxs)
+
+    return jax.jit(step_fn, donate_argnums=0)
+
+
 def make_latent_train_step(
     vae_model,
     model,
