@@ -26,6 +26,28 @@ def test_diffusion_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_diffusion_smoke_resident_data(tmp_path):
+    """data_placement='device': HBM-pinned dataset, scanned index-group
+    dispatches (single-device path; the multi-device mesh falls back to
+    host streaming with a warning)."""
+    from tinydiffusion_tpu.experiments.diffusion import DiffusionConfig, run
+
+    cfg = DiffusionConfig(
+        num_epochs=1, batch_size=16, num_timesteps=20, time_dim=16,
+        n_samples=4, data_root=str(tmp_path / "data"),
+        out_dir=str(tmp_path / "out"), compute_dtype="float32",
+        max_steps_per_epoch=4, log_every=2, use_mesh=False,
+        checkpoint_path="", data_placement="device",
+        sample_every_epoch=False, visualize_denoising=False,
+    )
+    result = run(cfg)
+    assert np.isfinite(result["losses"]).all()
+    # 4 capped steps at log_every=2 -> logs at batch 0 and 2 (even groups:
+    # no tail program, one compile on the 1-core CPU host)
+    assert len(result["losses"]) == 2
+
+
+@pytest.mark.slow
 def test_conditional_diffusion_smoke(tmp_path):
     from tinydiffusion_tpu.experiments.conditional_diffusion import (
         ConditionalDiffusionConfig,

@@ -69,6 +69,12 @@ class DiffusionConfig:
     # DIFFERENT noise stream than jax.random — leave off for parity/replay
     # runs; single-chip only (the kernel does not partition over a mesh).
     fused_qsample: bool = False
+    # 'host' streams batches through the prefetch pipeline (reference-shaped
+    # loop); 'device' pins the whole uint8 dataset in HBM and scans
+    # log_every-sized index groups through the train step in one dispatch
+    # each (data/device.py) — measured 16.5k vs 4.7k samples/s loop-level.
+    # Single-chip only; batch composition replays the host stream exactly.
+    data_placement: str = "host"
 
 
 def run(config: DiffusionConfig) -> dict:
@@ -98,9 +104,26 @@ def run(config: DiffusionConfig) -> dict:
     state = create_train_state(model, tx, example, init_rng)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.diffusion").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
     train_step = make_train_step(
         model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample
     )
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.train.trainer import make_resident_multi_step
+
+        device_data = DeviceDataset(
+            [images_u8], config.batch_size, shuffle=True, seed=config.seed,
+            u8_normalize=(MNIST_SCALE, MNIST_SHIFT),
+        )
+        resident_step = make_resident_multi_step(model, tx, schedule, device_data)
     sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype
@@ -116,22 +139,45 @@ def run(config: DiffusionConfig) -> dict:
     for epoch in range(config.num_epochs):
         epoch_t0 = time.perf_counter()
         throughput.reset()
-        batches = prefetch_to_device(
-            data.epoch(epoch), sharding=batch_sh, transform=data.device_transform
-        )
-        for batch_idx, (x0,) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            state, loss = train_step(state, x0)
-            throughput.add(config.batch_size)
-            if batch_idx % config.log_every == 0:
-                # Matches the reference's per-100-batch print (diffusion.py:238-239).
-                loss_val = float(loss)
+        if resident:
+            # One dispatch per log_every batches: gather + normalize + train
+            # scanned in-program over the HBM-pinned dataset; the (G,) loss
+            # vector keeps the reference's per-100-batch logging exact
+            # (losses[0] IS the loss at batch index `start`).
+            idxs = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs = idxs[: config.max_steps_per_epoch]
+            g = config.log_every
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses = resident_step(state, chunk)
+                throughput.add(len(chunk) * config.batch_size)
+                loss = losses[-1]
+                loss_val = float(losses[0])
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx, "loss": loss_val}, step=step
+                    {"epoch": epoch, "batch": start, "loss": loss_val}, step=step
                 )
                 result["losses"].append(loss_val)
-            step += 1
+                step += len(chunk)
+        else:
+            batches = prefetch_to_device(
+                data.epoch(epoch), sharding=batch_sh, transform=data.device_transform
+            )
+            for batch_idx, (x0,) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                state, loss = train_step(state, x0)
+                throughput.add(config.batch_size)
+                if batch_idx % config.log_every == 0:
+                    # Matches the reference's per-100-batch print
+                    # (diffusion.py:238-239).
+                    loss_val = float(loss)
+                    logger.log(
+                        {"epoch": epoch, "batch": batch_idx, "loss": loss_val},
+                        step=step,
+                    )
+                    result["losses"].append(loss_val)
+                step += 1
         # Real completion fence: block_until_ready does not fence on this
         # backend (obs/profiling.force); fetching the chained loss does.
         if loss is not None:
