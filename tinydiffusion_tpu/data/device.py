@@ -74,17 +74,25 @@ class DeviceDataset:
             nb, self.batch_size
         ).astype(np.int32)
 
-    def gather(self, idx) -> Tuple:
+    def gather_arrays(self, arrays: Tuple, idx) -> Tuple:
         """Jit-traceable: one batch as ``(arrays[i][idx]...)`` with the u8
-        positions normalized to f32. Call INSIDE the consuming program so
-        XLA fuses gather + normalize + the first layer."""
+        positions normalized to f32. ``arrays`` must be passed into the
+        consuming jitted program as EXPLICIT ARGUMENTS (use
+        ``self.device_arrays`` at call time) — closure-capturing them bakes
+        the whole dataset into the serialized HLO as constants, which this
+        backend's remote-compile service rejects at GB scale (broken pipe
+        at the 1.9 GB LAION-256 set; observed, not hypothetical)."""
         import jax.numpy as jnp
 
         out = []
-        for a, is_u8 in zip(self.device_arrays, self._is_u8):
+        for a, is_u8 in zip(arrays, self._is_u8):
             x = jnp.take(a, idx, axis=0)
             if is_u8 and self.u8_normalize is not None:
                 scale, shift = self.u8_normalize
                 x = x.astype(jnp.float32) * scale + shift
             out.append(x)
         return tuple(out)
+
+    def gather(self, idx) -> Tuple:
+        """Eager/outer-jit convenience gather over the pinned arrays."""
+        return self.gather_arrays(self.device_arrays, idx)

@@ -70,6 +70,10 @@ class ConditionalDiffusionConfig:
     visualize_denoising: bool = True
     denoising_stride: int = 100
     max_steps_per_epoch: int = 0
+    # 'host' streams batches through the prefetch pipeline; 'device' pins the
+    # (image, label) train split in HBM and scans log_every-sized index
+    # groups per dispatch (see diffusion.py / data/device.py). Single-chip.
+    data_placement: str = "host"
 
 
 def run(config: ConditionalDiffusionConfig) -> dict:
@@ -104,7 +108,26 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     state = create_train_state(model, tx, example, init_rng)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.conditional").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
     train_step = make_train_step(model, tx, schedule, conditional=True, mesh=mesh)
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.train.trainer import make_resident_multi_step
+
+        device_data = DeviceDataset(
+            [xt, yt], config.batch_size, shuffle=True, seed=config.seed,
+            u8_normalize=u8,
+        )
+        resident_step = make_resident_multi_step(
+            model, tx, schedule, device_data, conditional=True
+        )
     eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), conditional=True,
@@ -123,23 +146,43 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        batches = prefetch_to_device(
-            train_it.epoch(epoch), sharding=batch_sh,
-            transform=train_it.device_transform,
-        )
-        for batch_idx, (x0, y) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            state, loss = train_step(state, x0, y)
-            train_acc.add(loss)
-            throughput.add(config.batch_size)
-            if batch_idx % config.log_every == 0:
+        if resident:
+            # One dispatch per log_every batches over the HBM-pinned split;
+            # the (G,) losses keep per-batch accumulation exact.
+            idxs = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs = idxs[: config.max_steps_per_epoch]
+            g = config.log_every
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses = resident_step(state, chunk)
+                for j in range(chunk.shape[0]):
+                    train_acc.add(losses[j])
+                throughput.add(chunk.shape[0] * config.batch_size)
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx,
-                     "batch_train_loss": train_acc.last()},
+                    {"epoch": epoch, "batch": start,
+                     "batch_train_loss": float(losses[0])},
                     step=step,
                 )
-            step += 1
+                step += chunk.shape[0]
+        else:
+            batches = prefetch_to_device(
+                train_it.epoch(epoch), sharding=batch_sh,
+                transform=train_it.device_transform,
+            )
+            for batch_idx, (x0, y) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                state, loss = train_step(state, x0, y)
+                train_acc.add(loss)
+                throughput.add(config.batch_size)
+                if batch_idx % config.log_every == 0:
+                    logger.log(
+                        {"epoch": epoch, "batch": batch_idx,
+                         "batch_train_loss": train_acc.last()},
+                        step=step,
+                    )
+                step += 1
         # One host fetch of all losses — also the real completion fence (the
         # donated state chains every step into the fetched values), so the
         # throughput reading below is honest loop-level samples/sec.

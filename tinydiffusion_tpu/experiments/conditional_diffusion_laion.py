@@ -93,6 +93,11 @@ class LaionDiffusionConfig:
     # this tiny latent-UNet step. 1 = reference-faithful per-batch dispatch.
     # Setting it to log_every keeps the batch-loss logging cadence identical.
     steps_per_dispatch: int = 1
+    # 'host' streams batches through the prefetch pipeline; 'device' pins
+    # the uint8 images + text embeddings in HBM (1.9 GB at the full 256^2
+    # 10k recipe) and scans steps_per_dispatch-sized index groups per
+    # dispatch — per-batch image upload disappears. Single-chip only.
+    data_placement: str = "host"
 
 
 SAMPLE_PROMPTS = [
@@ -103,18 +108,9 @@ SAMPLE_PROMPTS = [
 ]
 
 
-def make_laion_train_step(model, tx, schedule, codec, mesh=None,
-                          steps_per_dispatch: int = 1):
-    """Jitted step over (images, text_embeds): codec-encode -> q_sample ->
-    UNet -> clipped Adam update, one SPMD program.
-
-    ``steps_per_dispatch`` > 1 returns a multi-step program instead:
-    ``step(state, images_k, embeds_k) -> (state, losses_k)`` scanning K
-    stacked batches inside ONE dispatch (leading axis K). The 4x32x32
-    LatentUNet step is ~3 ms of compute but each dispatch pays ~1 ms of
-    host-tunnel RTT on this backend — scanning K batches amortizes it
-    (see train.trainer.make_multi_step for the equivalence argument)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _laion_raw_step(model, tx, schedule, codec):
+    """The unjitted per-batch LAION step, shared by the single-dispatch,
+    K-dispatch, and HBM-resident wrappers."""
 
     def step_fn(state: DiffusionTrainState, images, text_embeds):
         rng, t_key, noise_key, enc_key = jax.random.split(state.rng, 4)
@@ -144,6 +140,23 @@ def make_laion_train_step(model, tx, schedule, codec, mesh=None,
             loss,
         )
 
+    return step_fn
+
+
+def make_laion_train_step(model, tx, schedule, codec, mesh=None,
+                          steps_per_dispatch: int = 1):
+    """Jitted step over (images, text_embeds): codec-encode -> q_sample ->
+    UNet -> clipped Adam update, one SPMD program.
+
+    ``steps_per_dispatch`` > 1 returns a multi-step program instead:
+    ``step(state, images_k, embeds_k) -> (state, losses_k)`` scanning K
+    stacked batches inside ONE dispatch (leading axis K) — amortizes the
+    ~5-6 ms per-dispatch host-tunnel overhead (see
+    train.trainer.make_multi_step for the equivalence argument)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = _laion_raw_step(model, tx, schedule, codec)
+
     if steps_per_dispatch > 1:
         def fn(state, images_k, embeds_k):
             def body(s, xe):
@@ -162,6 +175,31 @@ def make_laion_train_step(model, tx, schedule, codec, mesh=None,
     data = NamedSharding(mesh, data_spec)
     return jax.jit(fn, donate_argnums=0,
                    in_shardings=(repl, data, data), out_shardings=(repl, repl))
+
+
+def make_laion_resident_step(model, tx, schedule, codec, dataset):
+    """HBM-resident LAION training: ``step(state, idxs) -> (state, losses)``
+    with ``idxs`` (K, B) int32. The 10k-image uint8 set at 256^2 is 1.9 GB
+    — pinned once in HBM (data/device.DeviceDataset) so the per-batch
+    1.6 MB image upload disappears; gather + u8-normalize + codec-encode +
+    train scan in one program. Single-chip."""
+    single = _laion_raw_step(model, tx, schedule, codec)
+
+    def step_fn(arrays, state: DiffusionTrainState, idxs):
+        def body(s, idx):
+            # arrays enter as explicit args — see gather_arrays docstring.
+            images, embeds = dataset.gather_arrays(arrays, idx)
+            s2, loss = single(s, images, embeds)
+            return s2, loss
+
+        return jax.lax.scan(body, state, idxs)
+
+    jitted = jax.jit(step_fn, donate_argnums=1)
+
+    def call(state: DiffusionTrainState, idxs):
+        return jitted(dataset.device_arrays, state, idxs)
+
+    return call
 
 
 def make_laion_eval_step(model, schedule, codec, mesh=None):
@@ -297,6 +335,23 @@ def run(config: LaionDiffusionConfig) -> dict:
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     k_dispatch = max(config.steps_per_dispatch, 1)
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.laion").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+
+        device_data = DeviceDataset(
+            [images[train_idx], embeds[train_idx]], config.batch_size,
+            shuffle=True, seed=config.seed, u8_normalize=u8,
+        )
+        resident_step = make_laion_resident_step(model, tx, schedule, codec,
+                                                 device_data)
     train_step = make_laion_train_step(model, tx, schedule, codec, mesh,
                                        steps_per_dispatch=k_dispatch)
     # Tail batches that don't fill a K-group run through the per-batch
@@ -322,47 +377,62 @@ def run(config: LaionDiffusionConfig) -> dict:
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        batches = prefetch_to_device(
-            train_it.epoch(epoch), sharding=batch_sh,
-            transform=train_it.device_transform,
-        )
-        group: list = []
+        if resident:
+            # HBM-resident epoch: index-group dispatches, no image H2D.
+            idxs_np = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs_np = idxs_np[: config.max_steps_per_epoch]
+            g = max(k_dispatch, config.log_every)
+            for start in range(0, len(idxs_np), g):
+                chunk = jnp.asarray(idxs_np[start : start + g])
+                state, losses = resident_step(state, chunk)
+                for j in range(chunk.shape[0]):
+                    train_acc.add(losses[j])
+                throughput.add(chunk.shape[0] * config.batch_size)
+                logger.log({"epoch": epoch, "batch": start,
+                            "batch_train_loss": float(losses[0])})
+        else:
+            batches = prefetch_to_device(
+                train_it.epoch(epoch), sharding=batch_sh,
+                transform=train_it.device_transform,
+            )
+            group: list = []
 
-        def flush_group(state):
-            xs = jnp.stack([g[0] for g in group])
-            es = jnp.stack([g[1] for g in group])
-            state, losses = train_step(state, xs, es)
-            for j in range(len(group)):
-                train_acc.add(losses[j])
-            group.clear()
-            return state
+            def flush_group(state):
+                xs = jnp.stack([g[0] for g in group])
+                es = jnp.stack([g[1] for g in group])
+                state, losses = train_step(state, xs, es)
+                for j in range(len(group)):
+                    train_acc.add(losses[j])
+                group.clear()
+                return state
 
-        for batch_idx, (x, emb) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            if k_dispatch > 1:
-                group.append((x, emb))
-                if len(group) == k_dispatch:
-                    state = flush_group(state)
-            else:
+            for batch_idx, (x, emb) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                if k_dispatch > 1:
+                    group.append((x, emb))
+                    if len(group) == k_dispatch:
+                        state = flush_group(state)
+                else:
+                    state, loss = single_step(state, x, emb)
+                    train_acc.add(loss)
+                throughput.add(config.batch_size)
+                dispatched = not group
+                if dispatched and batch_idx % config.log_every < (k_dispatch if k_dispatch > 1 else 1):
+                    logger.log({"epoch": epoch, "batch": batch_idx,
+                                "batch_train_loss": train_acc.last()})
+                if config.sample_every_batches and batch_idx > 0 and dispatched and (
+                    batch_idx % config.sample_every_batches < k_dispatch
+                ):
+                    rng, s_key = jax.random.split(rng)
+                    imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
+                    path = f"{config.out_dir}/sampled_epoch{epoch}_batch{batch_idx}.png"
+                    save_image_grid(np.asarray(imgs), path, nrow=2, normalize=False)
+                    logger.log_image("sampled_images", path)
+            for x, emb in group:  # tail that never filled a K-group
                 state, loss = single_step(state, x, emb)
                 train_acc.add(loss)
-            throughput.add(config.batch_size)
-            dispatched = not group
-            if dispatched and batch_idx % config.log_every < (k_dispatch if k_dispatch > 1 else 1):
-                logger.log({"epoch": epoch, "batch": batch_idx,
-                            "batch_train_loss": train_acc.last()})
-            if config.sample_every_batches and batch_idx > 0 and dispatched and (
-                batch_idx % config.sample_every_batches < k_dispatch
-            ):
-                rng, s_key = jax.random.split(rng)
-                imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
-                path = f"{config.out_dir}/sampled_epoch{epoch}_batch{batch_idx}.png"
-                save_image_grid(np.asarray(imgs), path, nrow=2, normalize=False)
-                logger.log_image("sampled_images", path)
-        for x, emb in group:  # tail that never filled a K-group
-            state, loss = single_step(state, x, emb)
-            train_acc.add(loss)
         # Single epoch-end fetch doubles as the completion fence (donated
         # chained state) — honest loop-level throughput.
         avg_train = train_acc.mean()

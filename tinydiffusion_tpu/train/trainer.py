@@ -244,20 +244,27 @@ def make_resident_multi_step(
     on this tunnel) and the per-step upload — bench.py reports the loop
     running at resident-step rate.
 
-    Single-program-instance data: the dataset's device arrays ride in the
-    closure (hoisted by jit as constants, not re-uploaded per call).
+    The pinned arrays enter the program as explicit arguments, NOT closure
+    constants — constants are embedded in the serialized HLO and this
+    backend's remote-compile service breaks on GB-scale payloads (observed
+    with the 1.9 GB LAION-256 set; data/device.py gather_arrays docstring).
     """
     single = _raw_step_fn(model, tx, schedule, conditional)
 
-    def step_fn(state: DiffusionTrainState, idxs: jnp.ndarray):
+    def step_fn(arrays, state: DiffusionTrainState, idxs: jnp.ndarray):
         def body(s, idx):
-            batch = dataset.gather(idx)
+            batch = dataset.gather_arrays(arrays, idx)
             s2, loss = single(s, *batch)
             return s2, loss
 
         return jax.lax.scan(body, state, idxs)
 
-    return jax.jit(step_fn, donate_argnums=0)
+    jitted = jax.jit(step_fn, donate_argnums=1)
+
+    def call(state: DiffusionTrainState, idxs: jnp.ndarray):
+        return jitted(dataset.device_arrays, state, idxs)
+
+    return call
 
 
 def make_latent_train_step(
