@@ -81,6 +81,10 @@ class LatentDiffusionConfig:
     log_every: int = 100
     sample_every_epoch: bool = True
     max_steps_per_epoch: int = 0
+    # 'host' streams batches through the prefetch pipeline; 'device' pins
+    # the (image, label) split in HBM and scans log_every-sized index
+    # groups per dispatch (see diffusion.py / data/device.py). Single-chip.
+    data_placement: str = "host"
 
 
 def steps_per_epoch_from_split(
@@ -241,7 +245,26 @@ def run(config: LatentDiffusionConfig) -> dict:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         vae_params = jax.device_put(vae_params, NamedSharding(mesh, P()))
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.latent").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
     train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.train.trainer import make_resident_latent_multi_step
+
+        device_data = DeviceDataset(
+            [xt, yt], config.batch_size, shuffle=True, seed=config.seed,
+            u8_normalize=u8,
+        )
+        resident_step = make_resident_latent_multi_step(
+            vae_model, model, tx, schedule, device_data
+        )
     eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
     batch_sh = batch_sharding(mesh) if mesh is not None else None
     sampler = make_latent_sampler(
@@ -263,23 +286,43 @@ def run(config: LatentDiffusionConfig) -> dict:
     for epoch in range(config.num_epochs):
         throughput.reset()
         train_acc = LossAccumulator()
-        batches = prefetch_to_device(
-            train_it.epoch(epoch), sharding=batch_sh,
-            transform=train_it.device_transform,
-        )
-        for batch_idx, (x0, y) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            state, loss = train_step(state, vae_params, x0, y)
-            train_acc.add(loss)
-            throughput.add(config.batch_size)
-            if batch_idx % config.log_every == 0:
+        if resident:
+            # One dispatch per log_every batches over the HBM-pinned split
+            # (gather + normalize + frozen-VAE encode + update in-program).
+            idxs = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs = idxs[: config.max_steps_per_epoch]
+            g = config.log_every
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses = resident_step(state, vae_params, chunk)
+                for j in range(chunk.shape[0]):
+                    train_acc.add(losses[j])
+                throughput.add(chunk.shape[0] * config.batch_size)
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx,
-                     "batch_train_loss": train_acc.last()},
+                    {"epoch": epoch, "batch": start,
+                     "batch_train_loss": float(losses[0])},
                     step=step,
                 )
-            step += 1
+                step += chunk.shape[0]
+        else:
+            batches = prefetch_to_device(
+                train_it.epoch(epoch), sharding=batch_sh,
+                transform=train_it.device_transform,
+            )
+            for batch_idx, (x0, y) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                state, loss = train_step(state, vae_params, x0, y)
+                train_acc.add(loss)
+                throughput.add(config.batch_size)
+                if batch_idx % config.log_every == 0:
+                    logger.log(
+                        {"epoch": epoch, "batch": batch_idx,
+                         "batch_train_loss": train_acc.last()},
+                        step=step,
+                    )
+                step += 1
         # Single epoch-end fetch doubles as the completion fence (donated
         # chained state) — honest loop-level throughput.
         avg_train_loss = train_acc.mean()

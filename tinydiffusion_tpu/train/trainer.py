@@ -284,6 +284,23 @@ def make_latent_train_step(
 
     Returns ``step(state, vae_params, x0, y) -> (state, loss)``.
     """
+    step_fn = _raw_latent_step_fn(vae_model, model, tx, schedule)
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl),
+    )
+
+
+def _raw_latent_step_fn(vae_model, model, tx, schedule) -> Callable:
+    """Unjitted latent-diffusion per-batch step (frozen-VAE encode folded
+    in) — shared by ``make_latent_train_step`` and the resident variant."""
 
     def step_fn(state: DiffusionTrainState, vae_params, x0: jnp.ndarray, y):
         rng, z_key, t_key, noise_key, drop_key = jax.random.split(state.rng, 5)
@@ -326,16 +343,31 @@ def make_latent_train_step(
         )
         return new_state, loss
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=0)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step_fn,
-        donate_argnums=0,
-        in_shardings=(repl, repl, data, data),
-        out_shardings=(repl, repl),
-    )
+    return step_fn
+
+
+def make_resident_latent_multi_step(vae_model, model, tx, schedule, dataset):
+    """HBM-resident latent-diffusion training: ``step(state, vae_params,
+    idxs) -> (state, losses)`` with ``idxs`` (K, B) int32 from
+    ``data.device.DeviceDataset``. Gather + u8-normalize + frozen-VAE
+    encode + denoiser update scan in one program; arrays enter as explicit
+    args (see ``DeviceDataset.gather_arrays``). Single-chip."""
+    single = _raw_latent_step_fn(vae_model, model, tx, schedule)
+
+    def step_fn(arrays, state: DiffusionTrainState, vae_params, idxs):
+        def body(s, idx):
+            x0, y = dataset.gather_arrays(arrays, idx)
+            s2, loss = single(s, vae_params, x0, y)
+            return s2, loss
+
+        return jax.lax.scan(body, state, idxs)
+
+    jitted = jax.jit(step_fn, donate_argnums=1)
+
+    def call(state: DiffusionTrainState, vae_params, idxs):
+        return jitted(dataset.device_arrays, state, vae_params, idxs)
+
+    return call
 
 
 def make_latent_eval_step(
