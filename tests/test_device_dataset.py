@@ -42,6 +42,48 @@ def test_resident_batches_match_host_iterator(rng):
         np.testing.assert_array_equal(np.asarray(dy), hy)
 
 
+def test_resident_latent_multi_step_matches_single_steps(rng):
+    """make_resident_latent_multi_step (frozen-VAE encode in-program over
+    the pinned split) trains like the per-batch latent step."""
+    from tinydiffusion_tpu.models.vae_mnist import VAEMnist
+    from tinydiffusion_tpu.train.trainer import (
+        make_latent_train_step,
+        make_resident_latent_multi_step,
+    )
+
+    imgs = rng.integers(0, 256, (N, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, (N,)).astype(np.int32)
+    u8 = (2.0 / 255.0, -1.0)
+    ds = DeviceDataset([imgs, labels], B, shuffle=True, seed=1,
+                       u8_normalize=u8)
+    idxs = jnp.asarray(ds.epoch_index_batches(epoch=0))
+
+    vae = VAEMnist(latent_dim=D)
+    vae_params = vae.init(
+        jax.random.PRNGKey(7), jnp.zeros((2, 28, 28, 1)), jax.random.PRNGKey(0)
+    )["params"]
+    schedule = DiffusionSchedule.linear(50)
+    model = MLPUNetLatent(latent_dim=D)
+    tx = optax.sgd(1e-2)
+    y0 = jnp.zeros((B,), jnp.int32)
+    example = (jnp.zeros((B, D), jnp.float32), y0, y0)
+
+    s_res = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    resident = make_resident_latent_multi_step(vae, model, tx, schedule, ds)
+    s_res, losses_res = resident(s_res, vae_params, idxs)
+
+    s_host = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    single = make_latent_train_step(vae, model, tx, schedule)
+    losses_host = []
+    for i in np.asarray(idxs):
+        x = jnp.asarray(imgs[i]).astype(jnp.float32) * u8[0] + u8[1]
+        s_host, loss = single(s_host, vae_params, x, jnp.asarray(labels[i]))
+        losses_host.append(float(loss))
+
+    np.testing.assert_allclose(np.asarray(losses_res), np.asarray(losses_host),
+                               rtol=2e-2, atol=1e-4)
+
+
 def test_resident_multi_step_matches_single_steps(rng):
     imgs, labels = _data(rng)
     u8 = (2.0 / 255.0, -1.0)
