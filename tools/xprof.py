@@ -1,0 +1,94 @@
+"""XProf trace capture + device-op hotspot table for the train step.
+
+Runs N fenced steps of a chosen model under ``jax.profiler.trace`` (works on
+this backend — produces xplane.pb + trace.json.gz) and prints the device-op
+time aggregated by XLA fusion category, plus the per-step total.
+
+Usage (on the real TPU):
+    python tools/xprof.py [--model unet28] [--steps 10] [--out /tmp/xprof]
+
+Measured r2 (UNet28 DDPM train, batch 128, 10 steps): 7.33 ms/step of device
+op time (vs 8.45 ms fenced wall incl. dispatch) — 52.9% conv/matmul fusions
+(MXU), 30.4% convert_reduce fusions (fp32 BatchNorm statistics + loss/grad
+reductions over bf16 activations; required by BN semantics parity), 4.5%
+select-and-scatter (ceil-mode maxpool backward).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusion_tpu.obs.profiling import force
+
+
+def run_traced_steps(out_dir: str, steps: int) -> None:
+    from tinydiffusion_tpu.core.schedule import DiffusionSchedule
+    from tinydiffusion_tpu.models.unet28 import UNet28
+    from tinydiffusion_tpu.train.trainer import create_train_state, make_train_step
+
+    model = UNet28(dtype=jnp.bfloat16)
+    tx = optax.adam(1e-3)
+    schedule = DiffusionSchedule.linear(1000)
+    ex = (jnp.zeros((128, 28, 28, 1), jnp.float32), jnp.zeros((128,), jnp.int32))
+    state = create_train_state(model, tx, ex, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, schedule)
+    x0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((128, 28, 28, 1)), jnp.float32
+    )
+    for _ in range(3):  # compile + warm
+        state, loss = step(state, x0)
+    force(loss)
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            state, loss = step(state, x0)
+        force(loss)
+
+
+def summarize(out_dir: str, steps: int) -> dict:
+    paths = sorted(glob.glob(f"{out_dir}/plugins/profile/*/*.trace.json.gz"))
+    assert paths, f"no trace.json.gz under {out_dir}"
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    names, threads = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                names[e["pid"]] = e["args"].get("name", "")
+            if e.get("name") == "thread_name":
+                threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    cat = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e and names.get(e.get("pid")) == "/device:TPU:0":
+            if threads.get((e["pid"], e.get("tid"))) == "XLA Ops":
+                cat[e["name"].split(".")[0]] += e["dur"]
+    total = sum(cat.values())
+    print(f"device op time: {total/1000:.2f} ms over {steps} steps "
+          f"({total/steps/1000:.3f} ms/step)")
+    for n, d in cat.most_common(12):
+        print(f"{d/1000:9.2f} ms {100*d/total:5.1f}%  {n}")
+    return {"total_ms": total / 1000, "per_step_ms": total / steps / 1000,
+            "categories": dict(cat)}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", default="unet28", choices=["unet28"])
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--out", default="/tmp/xprof_trace")
+    args = parser.parse_args()
+    run_traced_steps(args.out, args.steps)
+    summarize(args.out, args.steps)
+
+
+if __name__ == "__main__":
+    main()
