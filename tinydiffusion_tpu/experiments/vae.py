@@ -46,11 +46,13 @@ class VAEExperimentConfig(VAEConfig):
     use_mesh: bool = True
     log_every: int = 100
     max_steps_per_epoch: int = 0
+    # 'host' streams batches through the prefetch pipeline; 'device' pins
+    # the uint8 train set in HBM and scans log_every-sized index groups per
+    # dispatch (see data/device.py). Single-chip.
+    data_placement: str = "host"
 
 
-def make_vae_train_step(model: VAEMnist, tx, mesh=None):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+def _vae_raw_step(model: VAEMnist, tx):
     def step_fn(state: VAETrainState, x: jnp.ndarray):
         rng, z_key = jax.random.split(state.rng)
 
@@ -66,6 +68,14 @@ def make_vae_train_step(model: VAEMnist, tx, mesh=None):
             loss,
         )
 
+    return step_fn
+
+
+def make_vae_train_step(model: VAEMnist, tx, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = _vae_raw_step(model, tx)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
     repl = NamedSharding(mesh, P())
@@ -73,6 +83,27 @@ def make_vae_train_step(model: VAEMnist, tx, mesh=None):
     return jax.jit(
         step_fn, donate_argnums=0, in_shardings=(repl, data), out_shardings=(repl, repl)
     )
+
+
+def make_vae_resident_step(model: VAEMnist, tx, dataset):
+    """HBM-resident VAE training: ``step(state, idxs) -> (state, losses)``
+    scanning (K, B) int32 index batches over the pinned uint8 set (arrays
+    enter as explicit args — data/device.py gather_arrays docstring)."""
+    single = _vae_raw_step(model, tx)
+
+    def step_fn(arrays, state: VAETrainState, idxs):
+        def body(s, idx):
+            (x,) = dataset.gather_arrays(arrays, idx)
+            return single(s, x)
+
+        return jax.lax.scan(body, state, idxs)
+
+    jitted = jax.jit(step_fn, donate_argnums=1)
+
+    def call(state: VAETrainState, idxs):
+        return jitted(dataset.device_arrays, state, idxs)
+
+    return call
 
 
 def make_vae_eval_step(model: VAEMnist, mesh=None):
@@ -122,7 +153,23 @@ def run(config: VAEExperimentConfig) -> dict:
     )
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.vae").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
     train_step = make_vae_train_step(model, tx, mesh)
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+
+        device_data = DeviceDataset(
+            [train_images], config.batch_size, shuffle=True, seed=config.seed,
+            u8_normalize=u8,
+        )
+        resident_step = make_vae_resident_step(model, tx, device_data)
     eval_step = make_vae_eval_step(model, mesh)
 
     logger = MetricsLogger("vae_mnist", config.out_dir, dataclasses.asdict(config))
@@ -136,20 +183,35 @@ def run(config: VAEExperimentConfig) -> dict:
     for epoch in range(1, config.epochs + 1):
         # Train epoch (vae.py:105-126).
         train_acc = LossAccumulator()
-        batches = prefetch_to_device(
-            train_it.epoch(epoch), sharding=batch_sh,
-            transform=train_it.device_transform,
-        )
-        for batch_idx, (x,) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            state, loss = train_step(state, x)
-            train_acc.add(loss)
-            if batch_idx % config.log_every == 0:
+        if resident:
+            idxs = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs = idxs[: config.max_steps_per_epoch]
+            g = config.log_every
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses = resident_step(state, chunk)
+                for j in range(chunk.shape[0]):
+                    train_acc.add(losses[j])
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx,
-                     "loss_per_sample": train_acc.last() / config.batch_size}
+                    {"epoch": epoch, "batch": start,
+                     "loss_per_sample": float(losses[0]) / config.batch_size}
                 )
+        else:
+            batches = prefetch_to_device(
+                train_it.epoch(epoch), sharding=batch_sh,
+                transform=train_it.device_transform,
+            )
+            for batch_idx, (x,) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                state, loss = train_step(state, x)
+                train_acc.add(loss)
+                if batch_idx % config.log_every == 0:
+                    logger.log(
+                        {"epoch": epoch, "batch": batch_idx,
+                         "loss_per_sample": train_acc.last() / config.batch_size}
+                    )
         avg_train_loss = train_acc.sum() / max(n_train, 1)
 
         # Test epoch (vae.py:129-163) with reconstruction panel on batch 0.
