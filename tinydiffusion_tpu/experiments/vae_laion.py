@@ -68,11 +68,18 @@ class VAELaionConfig(ConvVAEConfig):
     # vae_laion.py:220-227). Global-norm clipping keeps the recipe trainable;
     # 0 disables for strict parity.
     clip_norm: float = 10.0
+    # 'host' streams batches through the prefetch pipeline; 'device' pins
+    # the uint8 image set in HBM (1.9 GB at the full 256^2 10k recipe) and
+    # scans log_interval-sized index groups per dispatch. All-zero images
+    # (failed downloads) are excluded once at pin time instead of the host
+    # path's per-batch skip. Single-chip.
+    data_placement: str = "host"
 
 
-def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
-                             tx, beta: float, mesh=None):
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _conv_vae_raw_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
+                       tx, beta: float):
+    """Unjitted per-batch conv-VAE step, shared by the per-batch and
+    HBM-resident programs."""
 
     def step_fn(state: ConvVAETrainState, x: jnp.ndarray):
         rng, z_key = jax.random.split(state.rng)
@@ -99,6 +106,15 @@ def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_par
         )
         return new_state, loss, components
 
+    return step_fn
+
+
+def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
+                             tx, beta: float, mesh=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = _conv_vae_raw_step(model, perceptual, perc_params, tx, beta)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
     repl = NamedSharding(mesh, P())
@@ -107,6 +123,31 @@ def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_par
         step_fn, donate_argnums=0, in_shardings=(repl, data),
         out_shardings=(repl, repl, repl),
     )
+
+
+def make_conv_vae_resident_step(model: ConvVAE, perceptual: PerceptualNet,
+                                perc_params, tx, beta: float, dataset):
+    """HBM-resident conv-VAE training: ``step(state, idxs) -> (state,
+    losses, components)`` scanning (K, B) int32 index batches over the
+    pinned uint8 image set (arrays as explicit jit args — data/device.py).
+    ``components`` carries the per-batch loss terms stacked (K,)."""
+    single = _conv_vae_raw_step(model, perceptual, perc_params, tx, beta)
+
+    def step_fn(arrays, state: ConvVAETrainState, idxs):
+        def body(s, idx):
+            (x,) = dataset.gather_arrays(arrays, idx)
+            s2, loss, components = single(s, x)
+            return s2, (loss, components)
+
+        new_state, (losses, components) = jax.lax.scan(body, state, idxs)
+        return new_state, losses, components
+
+    jitted = jax.jit(step_fn, donate_argnums=1)
+
+    def call(state: ConvVAETrainState, idxs):
+        return jitted(dataset.device_arrays, state, idxs)
+
+    return call
 
 
 def make_conv_vae_eval_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
@@ -195,6 +236,31 @@ def run(config: VAELaionConfig) -> dict:
     )
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
+    resident = config.data_placement == "device"
+    if resident and mesh is not None and mesh.devices.size > 1:
+        import logging
+
+        logging.getLogger("tinydiffusion.vae_laion").warning(
+            "data_placement='device' is single-chip only; falling back to host"
+        )
+        resident = False
+    if resident:
+        from tinydiffusion_tpu.data.device import DeviceDataset
+
+        # The host path skips all-zero BATCHES per step (failed downloads,
+        # vae_laion.py:346-350); resident mode excludes all-zero IMAGES once
+        # at pin time instead.
+        nonzero = train_images.reshape(len(train_images), -1).any(axis=1)
+        if not nonzero.all():
+            print(f"Excluding {int((~nonzero).sum())} all-zero images from "
+                  "the device-resident set.")
+        device_data = DeviceDataset(
+            [train_images[nonzero]], config.batch_size, shuffle=True,
+            seed=config.seed, u8_normalize=u8,
+        )
+        resident_step = make_conv_vae_resident_step(
+            model, perceptual, perc_params, tx, config.beta, device_data
+        )
     train_step = make_conv_vae_train_step(model, perceptual, perc_params, tx, config.beta, mesh)
     eval_step = make_conv_vae_eval_step(model, perceptual, perc_params, config.beta, mesh)
 
@@ -216,32 +282,52 @@ def run(config: VAELaionConfig) -> dict:
     for epoch in range(1, config.epochs + 1):
         train_acc, n_seen = LossAccumulator(), 0
         comp_acc: dict = {}
-        batches = prefetch_to_device(
-            nonzero_batches(train_it.epoch(epoch)), sharding=batch_sh,
-            transform=train_it.device_transform,
-        )
-        for batch_idx, (x,) in enumerate(batches):
-            if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
-                break
-            batch_len = len(x)
-            state, loss, components = train_step(state, x)
-            train_acc.add(loss)
-            # Buffer every batch's components on-device (no sync — the
-            # 256x256 recipe's blow-ups land BETWEEN log points, so
-            # log-cadence snapshots alone miss them).
-            for k, v in components.items():
-                comp_acc.setdefault(k, LossAccumulator()).add(v)
-            n_seen += batch_len
-            if batch_idx % config.log_interval == 0:
-                comp = {k: float(v) for k, v in components.items()}
-                if not all(np.isfinite(v) for v in comp.values()):
-                    # structured replacement for the reference's NaN print
-                    # (vae_laion.py:220-227)
-                    print(f"Loss components: {comp}")
+        if resident:
+            idxs = device_data.epoch_index_batches(epoch)
+            if config.max_steps_per_epoch:
+                idxs = idxs[: config.max_steps_per_epoch]
+            g = config.log_interval
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses, components = resident_step(state, chunk)
+                for j in range(chunk.shape[0]):
+                    train_acc.add(losses[j])
+                    for k, v in components.items():
+                        comp_acc.setdefault(k, LossAccumulator()).add(v[j])
+                n_seen += chunk.shape[0] * config.batch_size
+                comp = {k: float(v[0]) for k, v in components.items()}
                 logger.log(
-                    {"epoch": epoch, "batch": batch_idx,
-                     "batch_train_loss": train_acc.last() / max(batch_len, 1), **comp}
+                    {"epoch": epoch, "batch": start,
+                     "batch_train_loss": float(losses[0]) / config.batch_size,
+                     **comp}
                 )
+        else:
+            batches = prefetch_to_device(
+                nonzero_batches(train_it.epoch(epoch)), sharding=batch_sh,
+                transform=train_it.device_transform,
+            )
+            for batch_idx, (x,) in enumerate(batches):
+                if config.max_steps_per_epoch and batch_idx >= config.max_steps_per_epoch:
+                    break
+                batch_len = len(x)
+                state, loss, components = train_step(state, x)
+                train_acc.add(loss)
+                # Buffer every batch's components on-device (no sync — the
+                # 256x256 recipe's blow-ups land BETWEEN log points, so
+                # log-cadence snapshots alone miss them).
+                for k, v in components.items():
+                    comp_acc.setdefault(k, LossAccumulator()).add(v)
+                n_seen += batch_len
+                if batch_idx % config.log_interval == 0:
+                    comp = {k: float(v) for k, v in components.items()}
+                    if not all(np.isfinite(v) for v in comp.values()):
+                        # structured replacement for the reference's NaN print
+                        # (vae_laion.py:220-227)
+                        print(f"Loss components: {comp}")
+                    logger.log(
+                        {"epoch": epoch, "batch": batch_idx,
+                         "batch_train_loss": train_acc.last() / max(batch_len, 1), **comp}
+                    )
         # One epoch-end fetch of all losses (completion fence included —
         # donated chained state), instead of a host sync per step.
         avg_train = train_acc.sum() / max(n_seen, 1)
