@@ -122,3 +122,77 @@ def test_resident_multi_step_matches_single_steps(rng):
     for a, b in zip(jax.tree.leaves(s_res.params), jax.tree.leaves(s_host.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_resident_multi_step_dp_equals_single(rng):
+    """Resident scan under an 8-device DP mesh == single-device resident
+    scan on the same pinned data and index stream (round-2 VERDICT next #1:
+    the fastest data path must work under the mesh, not fall back).
+
+    The pinned uint8 arrays ride replicated; the (K, B) index batches shard
+    over ``data`` on the batch dim, so each chip gathers only its own batch
+    rows from its local copy — data parallelism with zero cross-chip data
+    traffic, only the XLA gradient all-reduce."""
+    from tinydiffusion_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake devices"
+    imgs, labels = _data(rng)
+    u8 = (2.0 / 255.0, -1.0)
+    schedule = DiffusionSchedule.linear(50)
+    model = MLPUNetLatent(latent_dim=D)
+    # SGD for linear-in-gradient comparison (same rule as test_train_dp).
+    tx = optax.sgd(1e-2)
+    y0 = jnp.zeros((B,), jnp.int32)
+    example = (jnp.zeros((B, D), jnp.float32), y0, y0)
+    mesh = make_mesh(("data",))
+
+    ds_single = DeviceDataset([imgs, labels], B, shuffle=True, seed=0,
+                              u8_normalize=u8)
+    idxs = jnp.asarray(ds_single.epoch_index_batches(epoch=0))
+
+    s1 = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    step1 = make_resident_multi_step(model, tx, schedule, ds_single,
+                                     conditional=True)
+    s1, losses1 = step1(s1, idxs)
+
+    ds_dp = DeviceDataset([imgs, labels], B, shuffle=True, seed=0,
+                          u8_normalize=u8,
+                          sharding=replicated_sharding(mesh))
+    s2 = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    step2 = make_resident_multi_step(model, tx, schedule, ds_dp,
+                                     conditional=True, mesh=mesh)
+    s2, losses2 = step2(s2, idxs)
+
+    # Step 0-1 match bitwise; the 8-way sharded gradient all-reduce then
+    # sums in a different order than the single-device reduction and the
+    # rounding compounds over SGD steps — same tolerance family as the
+    # host-vs-resident comparison above.
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2),
+                               rtol=2e-2, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_resolve_data_placement():
+    """The 'auto' promotion contract: device when it fits, host when it
+    doesn't, hard error on typos, mesh-divisibility fallback."""
+    from tinydiffusion_tpu.experiments.common import (
+        RESIDENT_AUTO_LIMIT_BYTES,
+        resolve_data_placement,
+    )
+    from tinydiffusion_tpu.parallel.mesh import make_mesh
+
+    assert resolve_data_placement("auto", 1 << 20, 8) is True
+    assert resolve_data_placement(
+        "auto", RESIDENT_AUTO_LIMIT_BYTES + 1, 8) is False
+    assert resolve_data_placement(
+        "device", RESIDENT_AUTO_LIMIT_BYTES + 1, 8) is True  # explicit wins
+    assert resolve_data_placement("host", 1, 8) is False
+    mesh = make_mesh(("data",))  # 8 fake devices
+    assert resolve_data_placement("auto", 1 << 20, 16, mesh) is True
+    assert resolve_data_placement("auto", 1 << 20, 12, mesh) is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_data_placement("gpu", 1, 8)

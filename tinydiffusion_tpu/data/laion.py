@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import shutil
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from io import BytesIO
@@ -167,7 +168,11 @@ class LAIONImageTextDataset:
             except (json.JSONDecodeError, IOError) as e:
                 print(f"Error loading failed URLs cache: {e}")
                 self.failed_urls = set()
-        self._session = None
+        # Per-thread sessions: requests.Session is not thread-safe and
+        # precache_dataset fans __getitem__ out over a ThreadPoolExecutor(8)
+        # (the reference sidesteps this with a fresh session per fetch,
+        # vae_laion.py:284-293; a thread-local keeps its connection pooling).
+        self._local = threading.local()
 
     def __len__(self) -> int:
         return len(self.records)
@@ -197,15 +202,17 @@ class LAIONImageTextDataset:
         from requests.adapters import HTTPAdapter
         from urllib3.util.retry import Retry
 
-        if self._session is None:
-            self._session = requests.Session()
+        session = getattr(self._local, "session", None)
+        if session is None:
+            session = requests.Session()
             retries = Retry(
                 total=1, backoff_factor=1,
                 status_forcelist=[429, 500, 502, 503, 504],
             )
-            self._session.mount("http://", HTTPAdapter(max_retries=retries))
-            self._session.mount("https://", HTTPAdapter(max_retries=retries))
-        response = self._session.get(url, timeout=5)
+            session.mount("http://", HTTPAdapter(max_retries=retries))
+            session.mount("https://", HTTPAdapter(max_retries=retries))
+            self._local.session = session
+        response = session.get(url, timeout=5)
         response.raise_for_status()
         return Image.open(BytesIO(response.content)).convert("RGB")
 

@@ -72,8 +72,9 @@ class ConditionalDiffusionConfig:
     max_steps_per_epoch: int = 0
     # 'host' streams batches through the prefetch pipeline; 'device' pins the
     # (image, label) train split in HBM and scans log_every-sized index
-    # groups per dispatch (see diffusion.py / data/device.py). Single-chip.
-    data_placement: str = "host"
+    # groups per dispatch (see diffusion.py / data/device.py); 'auto'
+    # (default) promotes to 'device' when the split fits in HBM. DP-capable.
+    data_placement: str = "auto"
 
 
 def run(config: ConditionalDiffusionConfig) -> dict:
@@ -108,25 +109,25 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     state = create_train_state(model, tx, example, init_rng)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
-        import logging
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
 
-        logging.getLogger("tinydiffusion.conditional").warning(
-            "data_placement='device' is single-chip only; falling back to host"
-        )
-        resident = False
+    resident = resolve_data_placement(
+        config.data_placement, xt.nbytes + yt.nbytes, config.batch_size,
+        mesh, "conditional",
+    )
     train_step = make_train_step(model, tx, schedule, conditional=True, mesh=mesh)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
         from tinydiffusion_tpu.train.trainer import make_resident_multi_step
 
         device_data = DeviceDataset(
             [xt, yt], config.batch_size, shuffle=True, seed=config.seed,
             u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_multi_step(
-            model, tx, schedule, device_data, conditional=True
+            model, tx, schedule, device_data, conditional=True, mesh=mesh
         )
     eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh)
     sampler = make_sampler(

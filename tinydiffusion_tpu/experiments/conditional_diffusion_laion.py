@@ -96,8 +96,9 @@ class LaionDiffusionConfig:
     # 'host' streams batches through the prefetch pipeline; 'device' pins
     # the uint8 images + text embeddings in HBM (1.9 GB at the full 256^2
     # 10k recipe) and scans steps_per_dispatch-sized index groups per
-    # dispatch — per-batch image upload disappears. Single-chip only.
-    data_placement: str = "host"
+    # dispatch — per-batch image upload disappears. 'auto' (default)
+    # promotes to 'device' when the set fits in HBM. DP-capable.
+    data_placement: str = "auto"
 
 
 SAMPLE_PROMPTS = [
@@ -177,12 +178,15 @@ def make_laion_train_step(model, tx, schedule, codec, mesh=None,
                    in_shardings=(repl, data, data), out_shardings=(repl, repl))
 
 
-def make_laion_resident_step(model, tx, schedule, codec, dataset):
+def make_laion_resident_step(model, tx, schedule, codec, dataset, mesh=None):
     """HBM-resident LAION training: ``step(state, idxs) -> (state, losses)``
     with ``idxs`` (K, B) int32. The 10k-image uint8 set at 256^2 is 1.9 GB
     — pinned once in HBM (data/device.DeviceDataset) so the per-batch
     1.6 MB image upload disappears; gather + u8-normalize + codec-encode +
-    train scan in one program. Single-chip."""
+    train scan in one program. Under a ``mesh`` index batches shard over
+    ``data`` against the replicated pinned set (train.trainer.resident_jit)."""
+    from tinydiffusion_tpu.train.trainer import resident_jit
+
     single = _laion_raw_step(model, tx, schedule, codec)
 
     def step_fn(arrays, state: DiffusionTrainState, idxs):
@@ -194,12 +198,22 @@ def make_laion_resident_step(model, tx, schedule, codec, dataset):
 
         return jax.lax.scan(body, state, idxs)
 
-    jitted = jax.jit(step_fn, donate_argnums=1)
+    return resident_jit(step_fn, dataset, mesh)
 
-    def call(state: DiffusionTrainState, idxs):
-        return jitted(dataset.device_arrays, state, idxs)
 
-    return call
+def _window_contains_multiple(lo: int, hi: int, every: int,
+                              positive_only: bool = False) -> bool:
+    """True iff the inclusive batch-index window [lo, hi] contains a multiple
+    of ``every`` — the exact K-dispatch generalization of the reference's
+    per-batch ``batch_idx % every == 0`` gates (so a window overlapping a
+    log point fires exactly once, whatever K divides into ``every``)."""
+    if every <= 0:
+        return False
+    if positive_only:
+        lo = max(lo, 1)
+        if hi < 1:
+            return False
+    return hi // every > (lo - 1) // every
 
 
 def make_laion_eval_step(model, schedule, codec, mesh=None):
@@ -282,11 +296,29 @@ def run(config: LaionDiffusionConfig) -> dict:
 
     # Unit-variance latent calibration for the substitute codec (the real
     # SD-VAE ships a pre-calibrated scaling_factor; see
-    # LinearPatchCodec.calibrate).
+    # LinearPatchCodec.calibrate). A resumed run must keep the basis the
+    # checkpointed denoiser was trained in — restore it from the sidecar
+    # instead of re-fitting on this run's (possibly different) data.
     if hasattr(codec, "calibrate"):
-        sample = images[: min(64, len(images))].astype(np.float32) * (2 / 255) - 1
-        sf = codec.calibrate(jnp.asarray(sample))
-        print(f"calibrated latent scaling factor: {sf:.4f}")
+        codec_state = None
+        if checkpoint_exists(config.model_save_path):
+            from tinydiffusion_tpu.io.checkpoint import load_sidecar
+
+            try:
+                codec_state = load_sidecar(config.model_save_path).get(
+                    "metadata", {}
+                ).get("codec_state")
+            except Exception as e:
+                print(f"Could not read codec state from sidecar: {e}")
+        if codec_state is not None:
+            codec.load_state_dict(codec_state)
+            print(f"restored calibrated codec basis from "
+                  f"{config.model_save_path} (scaling factor "
+                  f"{codec.scaling_factor:.4f})")
+        else:
+            sample = images[: min(64, len(images))].astype(np.float32) * (2 / 255) - 1
+            sf = codec.calibrate(jnp.asarray(sample))
+            print(f"calibrated latent scaling factor: {sf:.4f}")
 
     perm = np.random.default_rng(config.split_seed).permutation(len(images))
     n_val = len(images) // 5
@@ -335,23 +367,24 @@ def run(config: LaionDiffusionConfig) -> dict:
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     k_dispatch = max(config.steps_per_dispatch, 1)
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
-        import logging
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
 
-        logging.getLogger("tinydiffusion.laion").warning(
-            "data_placement='device' is single-chip only; falling back to host"
-        )
-        resident = False
+    resident = resolve_data_placement(
+        config.data_placement,
+        images[train_idx].nbytes + embeds[train_idx].nbytes,
+        config.batch_size, mesh, "laion",
+    )
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
 
         device_data = DeviceDataset(
             [images[train_idx], embeds[train_idx]], config.batch_size,
             shuffle=True, seed=config.seed, u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_laion_resident_step(model, tx, schedule, codec,
-                                                 device_data)
+                                                 device_data, mesh=mesh)
     train_step = make_laion_train_step(model, tx, schedule, codec, mesh,
                                        steps_per_dispatch=k_dispatch)
     # Tail batches that don't fill a K-group run through the per-batch
@@ -389,8 +422,30 @@ def run(config: LaionDiffusionConfig) -> dict:
                 for j in range(chunk.shape[0]):
                     train_acc.add(losses[j])
                 throughput.add(chunk.shape[0] * config.batch_size)
-                logger.log({"epoch": epoch, "batch": start,
-                            "batch_train_loss": float(losses[0])})
+                end = start + int(chunk.shape[0]) - 1
+                # The scanned (K,) losses let the reference's exact
+                # per-log_every batch-loss cadence survive K-batch
+                # dispatches: every log point inside the window is emitted
+                # with ITS batch's loss.
+                for j in range(int(chunk.shape[0])):
+                    if (start + j) % config.log_every == 0:
+                        logger.log({"epoch": epoch, "batch": start + j,
+                                    "batch_train_loss": float(losses[j])})
+                # Mid-epoch sampling (conditional_diffusion_laion.py:479-496)
+                # fires at the first dispatch boundary past each
+                # sample_every_batches multiple — the state inside a window
+                # is never materialized, so the grid reflects the
+                # end-of-window params (documented cadence shift < g).
+                if _window_contains_multiple(
+                    start, end, config.sample_every_batches, positive_only=True
+                ):
+                    rng, s_key = jax.random.split(rng)
+                    imgs = sampler(state.params, state.batch_stats, s_key,
+                                   sample_embeds)
+                    path = f"{config.out_dir}/sampled_epoch{epoch}_batch{end}.png"
+                    save_image_grid(np.asarray(imgs), path, nrow=2,
+                                    normalize=False)
+                    logger.log_image("sampled_images", path)
         else:
             batches = prefetch_to_device(
                 train_it.epoch(epoch), sharding=batch_sh,
@@ -419,11 +474,15 @@ def run(config: LaionDiffusionConfig) -> dict:
                     train_acc.add(loss)
                 throughput.add(config.batch_size)
                 dispatched = not group
-                if dispatched and batch_idx % config.log_every < (k_dispatch if k_dispatch > 1 else 1):
+                k_window = k_dispatch if k_dispatch > 1 else 1
+                if dispatched and _window_contains_multiple(
+                    batch_idx - k_window + 1, batch_idx, config.log_every
+                ):
                     logger.log({"epoch": epoch, "batch": batch_idx,
                                 "batch_train_loss": train_acc.last()})
-                if config.sample_every_batches and batch_idx > 0 and dispatched and (
-                    batch_idx % config.sample_every_batches < k_dispatch
+                if dispatched and _window_contains_multiple(
+                    batch_idx - k_window + 1, batch_idx,
+                    config.sample_every_batches, positive_only=True,
                 ):
                     rng, s_key = jax.random.split(rng)
                     imgs = sampler(state.params, state.batch_stats, s_key, sample_embeds)
@@ -455,7 +514,12 @@ def run(config: LaionDiffusionConfig) -> dict:
         logger.log({"epoch": epoch, "epoch_train_loss": avg_train,
                     "val_loss": avg_val,
                     "train_samples_per_sec": throughput.samples_per_sec})
-        if keeper.update(avg_val, state, config=dataclasses.asdict(config), epoch=epoch):
+        extra_meta = (
+            {"codec_state": codec.state_dict()}
+            if hasattr(codec, "state_dict") else {}
+        )
+        if keeper.update(avg_val, state, config=dataclasses.asdict(config),
+                         epoch=epoch, **extra_meta):
             print(f"Saved best model at epoch {epoch} with val loss: {avg_val:.4f}")
 
         if config.sample_every_epoch:

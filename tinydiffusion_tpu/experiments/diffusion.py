@@ -73,8 +73,10 @@ class DiffusionConfig:
     # loop); 'device' pins the whole uint8 dataset in HBM and scans
     # log_every-sized index groups through the train step in one dispatch
     # each (data/device.py) — measured 16.5k vs 4.7k samples/s loop-level.
-    # Single-chip only; batch composition replays the host stream exactly.
-    data_placement: str = "host"
+    # 'auto' (default) promotes to 'device' when the set fits in HBM. Works
+    # under a DP mesh (replicated pin + sharded index gather); batch
+    # composition replays the host stream exactly.
+    data_placement: str = "auto"
 
 
 def run(config: DiffusionConfig) -> dict:
@@ -104,26 +106,39 @@ def run(config: DiffusionConfig) -> dict:
     state = create_train_state(model, tx, example, init_rng)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
+
+    placement = config.data_placement
+    if placement == "auto" and config.fused_qsample:
+        # fused_qsample is an explicit opt-in to the Pallas noising kernel,
+        # which only the host-streamed single-step path wires; honor it.
+        placement = "host"
+    resident = resolve_data_placement(
+        placement, images_u8.nbytes, config.batch_size, mesh, "diffusion"
+    )
+    if resident and config.fused_qsample:
         import logging
 
         logging.getLogger("tinydiffusion.diffusion").warning(
-            "data_placement='device' is single-chip only; falling back to host"
+            "fused_qsample is ignored with data_placement='device' (the "
+            "resident scan uses the jax.random q_sample path)"
         )
-        resident = False
     train_step = make_train_step(
         model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample
     )
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
         from tinydiffusion_tpu.train.trainer import make_resident_multi_step
 
         device_data = DeviceDataset(
             [images_u8], config.batch_size, shuffle=True, seed=config.seed,
             u8_normalize=(MNIST_SCALE, MNIST_SHIFT),
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
-        resident_step = make_resident_multi_step(model, tx, schedule, device_data)
+        resident_step = make_resident_multi_step(
+            model, tx, schedule, device_data, mesh=mesh
+        )
     sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype

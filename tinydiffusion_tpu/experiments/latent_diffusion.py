@@ -83,8 +83,9 @@ class LatentDiffusionConfig:
     max_steps_per_epoch: int = 0
     # 'host' streams batches through the prefetch pipeline; 'device' pins
     # the (image, label) split in HBM and scans log_every-sized index
-    # groups per dispatch (see diffusion.py / data/device.py). Single-chip.
-    data_placement: str = "host"
+    # groups per dispatch (see diffusion.py / data/device.py); 'auto'
+    # (default) promotes to 'device' when the split fits in HBM. DP-capable.
+    data_placement: str = "auto"
 
 
 def steps_per_epoch_from_split(
@@ -245,25 +246,25 @@ def run(config: LatentDiffusionConfig) -> dict:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         vae_params = jax.device_put(vae_params, NamedSharding(mesh, P()))
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
-        import logging
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
 
-        logging.getLogger("tinydiffusion.latent").warning(
-            "data_placement='device' is single-chip only; falling back to host"
-        )
-        resident = False
+    resident = resolve_data_placement(
+        config.data_placement, xt.nbytes + yt.nbytes, config.batch_size,
+        mesh, "latent",
+    )
     train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
         from tinydiffusion_tpu.train.trainer import make_resident_latent_multi_step
 
         device_data = DeviceDataset(
             [xt, yt], config.batch_size, shuffle=True, seed=config.seed,
             u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_latent_multi_step(
-            vae_model, model, tx, schedule, device_data
+            vae_model, model, tx, schedule, device_data, mesh=mesh
         )
     eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
     batch_sh = batch_sharding(mesh) if mesh is not None else None

@@ -48,8 +48,9 @@ class VAEExperimentConfig(VAEConfig):
     max_steps_per_epoch: int = 0
     # 'host' streams batches through the prefetch pipeline; 'device' pins
     # the uint8 train set in HBM and scans log_every-sized index groups per
-    # dispatch (see data/device.py). Single-chip.
-    data_placement: str = "host"
+    # dispatch (see data/device.py); 'auto' (default) promotes to 'device'
+    # when the set fits in HBM. DP-capable.
+    data_placement: str = "auto"
 
 
 def _vae_raw_step(model: VAEMnist, tx):
@@ -85,10 +86,14 @@ def make_vae_train_step(model: VAEMnist, tx, mesh=None):
     )
 
 
-def make_vae_resident_step(model: VAEMnist, tx, dataset):
+def make_vae_resident_step(model: VAEMnist, tx, dataset, mesh=None):
     """HBM-resident VAE training: ``step(state, idxs) -> (state, losses)``
     scanning (K, B) int32 index batches over the pinned uint8 set (arrays
-    enter as explicit args — data/device.py gather_arrays docstring)."""
+    enter as explicit args — data/device.py gather_arrays docstring).
+    Under a ``mesh`` the index batches shard over ``data`` against the
+    replicated pinned set (train.trainer.resident_jit)."""
+    from tinydiffusion_tpu.train.trainer import resident_jit
+
     single = _vae_raw_step(model, tx)
 
     def step_fn(arrays, state: VAETrainState, idxs):
@@ -98,12 +103,7 @@ def make_vae_resident_step(model: VAEMnist, tx, dataset):
 
         return jax.lax.scan(body, state, idxs)
 
-    jitted = jax.jit(step_fn, donate_argnums=1)
-
-    def call(state: VAETrainState, idxs):
-        return jitted(dataset.device_arrays, state, idxs)
-
-    return call
+    return resident_jit(step_fn, dataset, mesh)
 
 
 def make_vae_eval_step(model: VAEMnist, mesh=None):
@@ -153,23 +153,23 @@ def run(config: VAEExperimentConfig) -> dict:
     )
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
-        import logging
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
 
-        logging.getLogger("tinydiffusion.vae").warning(
-            "data_placement='device' is single-chip only; falling back to host"
-        )
-        resident = False
+    resident = resolve_data_placement(
+        config.data_placement, train_images.nbytes, config.batch_size,
+        mesh, "vae",
+    )
     train_step = make_vae_train_step(model, tx, mesh)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
 
         device_data = DeviceDataset(
             [train_images], config.batch_size, shuffle=True, seed=config.seed,
             u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
-        resident_step = make_vae_resident_step(model, tx, device_data)
+        resident_step = make_vae_resident_step(model, tx, device_data, mesh)
     eval_step = make_vae_eval_step(model, mesh)
 
     logger = MetricsLogger("vae_mnist", config.out_dir, dataclasses.asdict(config))

@@ -72,8 +72,16 @@ class VAELaionConfig(ConvVAEConfig):
     # the uint8 image set in HBM (1.9 GB at the full 256^2 10k recipe) and
     # scans log_interval-sized index groups per dispatch. All-zero images
     # (failed downloads) are excluded once at pin time instead of the host
-    # path's per-batch skip. Single-chip.
-    data_placement: str = "host"
+    # path's per-batch skip. 'auto' (default) promotes to 'device' when the
+    # set fits in HBM. DP-capable.
+    data_placement: str = "auto"
+    # 'seeded' uses the deterministic frozen substitute net; 'vgg16' loads a
+    # REAL pretrained VGG16 features[:16] from --perceptual-weights (a
+    # torch-saved state dict, compat/vgg.py) — the reference's exact frozen
+    # feature extractor (vae_laion.py:170-176), usable whenever a weight
+    # file is handed to this offline environment.
+    perceptual: str = "seeded"
+    perceptual_weights: str = ""
 
 
 def _conv_vae_raw_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
@@ -126,11 +134,13 @@ def make_conv_vae_train_step(model: ConvVAE, perceptual: PerceptualNet, perc_par
 
 
 def make_conv_vae_resident_step(model: ConvVAE, perceptual: PerceptualNet,
-                                perc_params, tx, beta: float, dataset):
+                                perc_params, tx, beta: float, dataset,
+                                mesh=None):
     """HBM-resident conv-VAE training: ``step(state, idxs) -> (state,
     losses, components)`` scanning (K, B) int32 index batches over the
     pinned uint8 image set (arrays as explicit jit args — data/device.py).
-    ``components`` carries the per-batch loss terms stacked (K,)."""
+    ``components`` carries the per-batch loss terms stacked (K,). Under a
+    ``mesh`` index batches shard over ``data`` (train.trainer.resident_jit)."""
     single = _conv_vae_raw_step(model, perceptual, perc_params, tx, beta)
 
     def step_fn(arrays, state: ConvVAETrainState, idxs):
@@ -142,12 +152,9 @@ def make_conv_vae_resident_step(model: ConvVAE, perceptual: PerceptualNet,
         new_state, (losses, components) = jax.lax.scan(body, state, idxs)
         return new_state, losses, components
 
-    jitted = jax.jit(step_fn, donate_argnums=1)
+    from tinydiffusion_tpu.train.trainer import resident_jit
 
-    def call(state: ConvVAETrainState, idxs):
-        return jitted(dataset.device_arrays, state, idxs)
-
-    return call
+    return resident_jit(step_fn, dataset, mesh, n_extra_out=2)
 
 
 def make_conv_vae_eval_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
@@ -200,11 +207,30 @@ def run(config: VAELaionConfig) -> dict:
         use_flash_attention=config.use_flash_attention,
     )
     perceptual = PerceptualNet()
-    # Deterministic frozen perceptual weights (offline VGG16 substitute).
-    perc_params = perceptual.init(
-        jax.random.PRNGKey(123),
-        jnp.zeros((1, config.image_size, config.image_size, 3)),
-    )["params"]
+    if config.perceptual == "vgg16":
+        # The reference's frozen pretrained VGG16 features[:16]
+        # (vae_laion.py:170-176), converted from a torch state-dict file.
+        from tinydiffusion_tpu.compat.vgg import load_vgg16_perceptual
+
+        if not config.perceptual_weights:
+            raise ValueError(
+                "perceptual='vgg16' needs --perceptual-weights "
+                "(a torch-saved vgg16 state dict; see compat/vgg.py)"
+            )
+        perc_params = jax.tree.map(
+            jnp.asarray, load_vgg16_perceptual(config.perceptual_weights)
+        )
+        print(f"loaded VGG16 perceptual weights from {config.perceptual_weights}")
+    elif config.perceptual == "seeded":
+        # Deterministic frozen perceptual weights (offline VGG16 substitute).
+        perc_params = perceptual.init(
+            jax.random.PRNGKey(123),
+            jnp.zeros((1, config.image_size, config.image_size, 3)),
+        )["params"]
+    else:
+        raise ValueError(
+            f"perceptual={config.perceptual!r}; choose 'seeded' or 'vgg16'"
+        )
 
     tx = optax.adam(config.learning_rate)
     if config.clip_norm:
@@ -236,16 +262,15 @@ def run(config: VAELaionConfig) -> dict:
     )
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
-    resident = config.data_placement == "device"
-    if resident and mesh is not None and mesh.devices.size > 1:
-        import logging
+    from tinydiffusion_tpu.experiments.common import resolve_data_placement
 
-        logging.getLogger("tinydiffusion.vae_laion").warning(
-            "data_placement='device' is single-chip only; falling back to host"
-        )
-        resident = False
+    resident = resolve_data_placement(
+        config.data_placement, train_images.nbytes, config.batch_size,
+        mesh, "vae_laion",
+    )
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
+        from tinydiffusion_tpu.parallel.mesh import replicated_sharding
 
         # The host path skips all-zero BATCHES per step (failed downloads,
         # vae_laion.py:346-350); resident mode excludes all-zero IMAGES once
@@ -257,9 +282,11 @@ def run(config: VAELaionConfig) -> dict:
         device_data = DeviceDataset(
             [train_images[nonzero]], config.batch_size, shuffle=True,
             seed=config.seed, u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_conv_vae_resident_step(
-            model, perceptual, perc_params, tx, config.beta, device_data
+            model, perceptual, perc_params, tx, config.beta, device_data,
+            mesh=mesh,
         )
     train_step = make_conv_vae_train_step(model, perceptual, perc_params, tx, config.beta, mesh)
     eval_step = make_conv_vae_eval_step(model, perceptual, perc_params, config.beta, mesh)
