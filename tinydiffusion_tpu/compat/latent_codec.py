@@ -130,6 +130,33 @@ class LinearPatchCodec:
         self.scaling_factor = float(np.mean(np.asarray(self.scale)))
         return self.scaling_factor
 
+    def state_dict(self) -> dict:
+        """The calibrated basis (w/mean/scale) as JSON-serializable lists.
+
+        A denoiser trained on calibrated latents is only meaningful in THIS
+        basis — persist it alongside the model checkpoint (the experiment
+        stores it in the sidecar) and restore with ``load_state_dict``
+        instead of re-fitting on whatever data the resuming run happens to
+        see (the SD-VAE analog: its scaling_factor ships with the weights,
+        conditional_diffusion_laion.py:605-612)."""
+        return {
+            "w": np.asarray(self.w).tolist(),
+            "mean": np.asarray(self.mean).tolist(),
+            "scale": np.asarray(self.scale).tolist(),
+            "scaling_factor": self.scaling_factor,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        w = jnp.asarray(d["w"], jnp.float32)
+        assert w.shape == self.w.shape, (
+            f"codec basis shape {w.shape} != expected {self.w.shape} "
+            "(checkpoint from a different image/latent geometry)"
+        )
+        self.w = w
+        self.mean = jnp.asarray(d["mean"], jnp.float32)
+        self.scale = jnp.asarray(d["scale"], jnp.float32)
+        self.scaling_factor = float(d["scaling_factor"])
+
 
 def get_latent_codec(name: str = "auto", image_size: int = 256):
     """'sd' | 'patch' | 'auto' (sd if loadable, else the patch substitute).

@@ -293,8 +293,13 @@ def conv_vae_loss(
     host-side NaN print (220-227) with structured metrics the caller can
     check and log.
     """
-    p = jnp.clip(recon_x, 1e-12, 1.0 - 1e-12)
-    bce = -jnp.sum(x * jnp.log(p) + (1.0 - x) * jnp.log1p(-p))
+    # torch F.binary_cross_entropy clamps the log terms at -100 (its
+    # documented "log(0) = -inf" guard) — an fp32 epsilon-clip on p does NOT
+    # work (1 - 1e-12 rounds back to exactly 1.0, and a saturated sigmoid
+    # really does emit exact 0/1 in fp32), so clamp the logs like torch.
+    log_p = jnp.maximum(jnp.log(recon_x), -100.0)
+    log_1mp = jnp.maximum(jnp.log1p(-recon_x), -100.0)
+    bce = -jnp.sum(x * log_p + (1.0 - x) * log_1mp)
     perc = jnp.sum((recon_features - target_features) ** 2)
     kld = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))
     total = bce + 0.1 * perc + beta * kld

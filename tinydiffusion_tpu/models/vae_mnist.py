@@ -86,12 +86,14 @@ def vae_loss(
     """``BCE(recon, (x+1)/2, reduction="sum") + KLD`` (vae.py:71-76).
 
     The input x arrives normalized to [-1, 1]; the target is un-normalized
-    back to [0, 1]. BCE is computed on probabilities with clipped logs
-    (torch.binary_cross_entropy clamps log terms at -100; clipping p at 1e-12
-    gives the same effective guard).
+    back to [0, 1]. BCE clamps the log terms at -100 exactly like
+    torch.binary_cross_entropy — an fp32 epsilon-clip on p is NOT a guard
+    (1 - 1e-12 rounds back to exactly 1.0 and a saturated sigmoid emits
+    exact 0/1 in fp32, so log1p(-p) would still hit -inf).
     """
     target = (x.reshape(recon_x.shape) + 1.0) / 2.0
-    p = jnp.clip(recon_x, 1e-12, 1.0 - 1e-12)
-    bce = -jnp.sum(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+    log_p = jnp.maximum(jnp.log(recon_x), -100.0)
+    log_1mp = jnp.maximum(jnp.log1p(-recon_x), -100.0)
+    bce = -jnp.sum(target * log_p + (1.0 - target) * log_1mp)
     kld = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))
     return bce + kld
