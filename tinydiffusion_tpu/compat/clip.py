@@ -148,6 +148,30 @@ class CLIPTextFlaxEncoder:
         self.dim = config.hidden_size
 
     @classmethod
+    def from_local(
+        cls,
+        weights_path: str,
+        vocab_file: str,
+        merges_file: str,
+        config: "CLIPTextConfig" = None,
+    ) -> "CLIPTextFlaxEncoder":
+        """Fully offline construction: a torch-saved CLIPTextModel state
+        dict + local tokenizer files (compat/clip_tokenizer.py) — no hub
+        access anywhere on the path."""
+        import torch
+
+        from tinydiffusion_tpu.compat.clip_tokenizer import CLIPBPETokenizer
+
+        state_dict = torch.load(weights_path, map_location="cpu",
+                                weights_only=True)
+        config = config or CLIPTextConfig()
+        tokenizer = CLIPBPETokenizer.from_files(
+            vocab_file, merges_file,
+            model_max_length=config.max_position_embeddings,
+        )
+        return cls(convert_clip_text(state_dict), tokenizer, config)
+
+    @classmethod
     def from_pretrained(cls, model_name: str = "openai/clip-vit-large-patch14"):
         """Reference path — needs reachable transformers weights + tokenizer
         files (zero egress here; substitute is HashTextEncoder)."""

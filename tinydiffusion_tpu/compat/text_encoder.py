@@ -51,16 +51,28 @@ class HashTextEncoder:
         return out
 
 
-def get_text_encoder(name: str = "auto", dim: int = 768):
+def get_text_encoder(name: str = "auto", dim: int = 768,
+                     clip_local_dir: str = ""):
     """'clip' | 'hash' | 'auto' (clip if loadable, else hash substitute).
 
     The 'clip' path returns the JAX-native ``CLIPTextFlaxEncoder``
     (compat/clip.py: converted CLIP-L weights, jitted forward, last-token
-    pooling) — parity-tested against transformers' CLIPTextModel."""
+    pooling) — parity-tested against transformers' CLIPTextModel. With
+    ``clip_local_dir`` (containing ``clip_text.pth``, ``vocab.json``,
+    ``merges.txt``) construction is fully offline, tokenizer included
+    (compat/clip_tokenizer.py)."""
+    import os
+
     from tinydiffusion_tpu.compat.clip import CLIPTextFlaxEncoder
 
     if name == "hash":
         return HashTextEncoder(dim)
+    if clip_local_dir and name in ("clip", "auto"):
+        return CLIPTextFlaxEncoder.from_local(
+            os.path.join(clip_local_dir, "clip_text.pth"),
+            os.path.join(clip_local_dir, "vocab.json"),
+            os.path.join(clip_local_dir, "merges.txt"),
+        )
     if name == "clip":
         return CLIPTextFlaxEncoder.from_pretrained()
     try:

@@ -72,6 +72,9 @@ class LaionDiffusionConfig:
     failed_urls_cache: str = "data/failed_urls.json"
     model_save_path: str = "checkpoints/laion_diffusion_best"
     text_encoder: str = "auto"  # 'clip' | 'hash' | 'auto'
+    # Directory with clip_text.pth + vocab.json + merges.txt: builds the
+    # CLIP seam fully offline, tokenizer included (compat/clip_tokenizer).
+    clip_local_dir: str = ""
     latent_codec: str = "auto"  # 'sd' | 'patch' | 'auto'
     compute_dtype: str = "bfloat16"
     # fp32 sampling: a 1000-step bf16 chain visibly degrades samples.
@@ -272,9 +275,11 @@ def run(config: LaionDiffusionConfig) -> dict:
     encoder_name = config.text_encoder
     if config.offline:
         codec_name = "patch" if codec_name == "auto" else codec_name
-        encoder_name = "hash" if encoder_name == "auto" else encoder_name
+        if encoder_name == "auto":
+            encoder_name = "clip" if config.clip_local_dir else "hash"
     codec = get_latent_codec(codec_name, config.image_size)
-    text_encoder = get_text_encoder(encoder_name, config.time_dim)
+    text_encoder = get_text_encoder(encoder_name, config.time_dim,
+                                    config.clip_local_dir)
 
     # Data: precache + valid subset + split (conditional_diffusion_laion.py:403-433).
     records = load_laion_dataset(config.n_records, offline=config.offline)
