@@ -196,3 +196,63 @@ def test_resolve_data_placement():
 
     with _pytest.raises(ValueError):
         resolve_data_placement("gpu", 1, 8)
+
+
+def test_resident_eval_matches_host_loop(rng):
+    """make_resident_eval's one-dispatch scan reproduces the host-streamed
+    val loop exactly: same batches (unshuffled drop-last), same
+    fold_in(base, epoch*10000 + i) keys, same per-batch losses — on a
+    single device AND under the 8-device DP mesh."""
+    from tinydiffusion_tpu.parallel.mesh import make_mesh, replicated_sharding
+    from tinydiffusion_tpu.train.trainer import (
+        make_eval_step,
+        make_resident_eval,
+        raw_eval_fn,
+    )
+
+    imgs, labels = _data(rng)
+    u8 = (2.0 / 255.0, -1.0)
+    schedule = DiffusionSchedule.linear(50)
+    model = MLPUNetLatent(latent_dim=D)
+    tx = optax.sgd(1e-2)
+    y0 = jnp.zeros((B,), jnp.int32)
+    example = (jnp.zeros((B, D), jnp.float32), y0, y0)
+    state = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+    base_key = jax.random.PRNGKey(41)
+    epoch = 3
+
+    # Host-streamed reference pass.
+    host_it = BatchIterator([imgs, labels], B, shuffle=False,
+                            u8_normalize=u8)
+    eval_step = make_eval_step(model, schedule, conditional=True)
+    host_losses = []
+    for i, (x0, y) in enumerate(host_it.epoch()):
+        key = jax.random.fold_in(base_key, epoch * 10000 + i)
+        host_losses.append(float(eval_step(
+            state.params, state.batch_stats, jnp.asarray(x0), key,
+            jnp.asarray(y),
+        )))
+
+    _eval = raw_eval_fn(model, schedule, conditional=True)
+
+    def body(ctx, batch, key):
+        return _eval(ctx[0], ctx[1], batch[0], key, batch[1])
+
+    # Single device.
+    ds = DeviceDataset([imgs, labels], B, shuffle=False, u8_normalize=u8)
+    resident_eval = make_resident_eval(body, ds, base_key)
+    got = np.asarray(resident_eval(
+        (state.params, state.batch_stats), epoch, ds.epoch_index_batches(0)
+    ))
+    np.testing.assert_allclose(got, host_losses, rtol=1e-6, atol=1e-7)
+
+    # DP mesh: replicated pin, idx batches sharded over 'data'.
+    mesh = make_mesh(("data",))
+    ds_dp = DeviceDataset([imgs, labels], B, shuffle=False, u8_normalize=u8,
+                          sharding=replicated_sharding(mesh))
+    resident_eval_dp = make_resident_eval(body, ds_dp, base_key, mesh=mesh)
+    got_dp = np.asarray(resident_eval_dp(
+        (state.params, state.batch_stats), epoch,
+        ds_dp.epoch_index_batches(0),
+    ))
+    np.testing.assert_allclose(got_dp, host_losses, rtol=1e-5, atol=1e-6)

@@ -170,6 +170,24 @@ def run(config: VAEExperimentConfig) -> dict:
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_vae_resident_step(model, tx, device_data, mesh)
+        # Pinned test split: losses for the whole test pass in one dispatch
+        # (VERDICT r2 weak #8); the batch-0 reconstruction panel keeps one
+        # eval_step call on the first host batch.
+        from tinydiffusion_tpu.train.trainer import make_resident_eval
+
+        device_test = DeviceDataset(
+            [test_images], config.batch_size, shuffle=False,
+            u8_normalize=u8,
+            sharding=replicated_sharding(mesh) if mesh is not None else None,
+        )
+        def _test_body(params, batch, key):
+            recon, mu, logvar = model.apply({"params": params}, batch[0], key)
+            return vae_loss(recon, batch[0], mu, logvar)
+
+        resident_eval = make_resident_eval(
+            _test_body, device_test, jax.random.PRNGKey(config.seed + 7),
+            mesh=mesh,
+        )
     eval_step = make_vae_eval_step(model, mesh)
 
     logger = MetricsLogger("vae_mnist", config.out_dir, dataclasses.asdict(config))
@@ -216,25 +234,52 @@ def run(config: VAEExperimentConfig) -> dict:
 
         # Test epoch (vae.py:129-163) with reconstruction panel on batch 0.
         test_acc = LossAccumulator()
-        test_batches = prefetch_to_device(
-            test_it.epoch(), sharding=batch_sh, transform=test_it.device_transform
-        )
-        for i, (x,) in enumerate(test_batches):
-            if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
-                break
-            key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 7), epoch * 10000 + i)
-            loss, recon = eval_step(state.params, x, key)
-            test_acc.add(loss)
-            if i == 0:
-                n_img = config.n_images_to_log
-                originals = (np.asarray(x[:n_img]).reshape(-1, 28, 28) + 1) / 2
-                recons = np.asarray(recon[:n_img]).reshape(-1, 28, 28)
-                panel = np.concatenate([originals, recons], axis=0)
-                panel_path = (
-                    f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png"
+
+        def _recon_panel(x, recon):
+            n_img = config.n_images_to_log
+            originals = (np.asarray(x[:n_img]).reshape(-1, 28, 28) + 1) / 2
+            recons = np.asarray(recon[:n_img]).reshape(-1, 28, 28)
+            panel = np.concatenate([originals, recons], axis=0)
+            panel_path = (
+                f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png"
+            )
+            save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
+            logger.log_image("original_vs_reconstructed", panel_path)
+
+        if resident:
+            tidxs = device_test.epoch_index_batches(0)
+            if config.max_steps_per_epoch:
+                tidxs = tidxs[: config.max_steps_per_epoch]
+            for loss in np.asarray(
+                resident_eval(state.params, epoch, tidxs)
+            ):
+                test_acc.add(loss)
+            # Batch-0 reconstruction panel via the single-batch eval step
+            # (same key the scan used for batch 0).
+            x0 = jnp.asarray(
+                test_images[: config.batch_size].astype(np.float32)
+                * u8[0] + u8[1]
+            )
+            key0 = jax.random.fold_in(
+                jax.random.PRNGKey(config.seed + 7), epoch * 10000
+            )
+            _, recon0 = eval_step(state.params, x0, key0)
+            _recon_panel(x0, recon0)
+        else:
+            test_batches = prefetch_to_device(
+                test_it.epoch(), sharding=batch_sh,
+                transform=test_it.device_transform,
+            )
+            for i, (x,) in enumerate(test_batches):
+                if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
+                    break
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(config.seed + 7), epoch * 10000 + i
                 )
-                save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
-                logger.log_image("original_vs_reconstructed", panel_path)
+                loss, recon = eval_step(state.params, x, key)
+                test_acc.add(loss)
+                if i == 0:
+                    _recon_panel(x, recon)
         avg_test_loss = test_acc.sum() / max(n_test, 1)
         result["test_losses"].append(avg_test_loss)
 
