@@ -27,7 +27,9 @@ def test_flash_forward_matches_dense(n, d, c, bq, bk):
     q, k, v = _rand(2, n, d, c)
     dense = _dense(q, k, v)
     flash = _flash(q, k, v, bq, bk)
-    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-5, rtol=1e-4)
+    # Logit dots run bf16x3 (hi/lo splitting, lo*lo dropped): ~4e-6 relative
+    # logit error, amplified by exp into ~1e-4 on attention outputs.
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-4, rtol=5e-4)
 
 
 def test_flash_gradients_match_dense():

@@ -28,12 +28,12 @@ Dispatch:
   the kernel logic on CPU.
 
 Measured on TPU v5e at the big site (N=16384, D=4, C=32, B=4; fenced with
-obs/profiling.force): forward-only dense is ~1.4x faster than flash (the
-dense path is HBM-bound and XLA pipelines it well; flash pays fp32 logit
-passes) — but for TRAINING flash wins ~1.4x (62.5 vs 87.8 ms fwd+bwd) and
-avoids ~8 GB of stored N^2 softmax residuals, which is what makes batch-4
-256x256 conv-VAE training fit at all. Flash is therefore the default above
-the dense threshold.
+obs/profiling.force): fwd+bwd flash is ~17 ms (bf16x3 logits + the fused
+single-kernel backward, round 3 — down from 62.5 ms at round 2's
+HIGHEST-precision logits + two-kernel backward; dense fwd+bwd was 87.8 ms)
+and avoids ~8 GB of stored N^2 softmax residuals, which is what makes
+batch-4 256x256 conv-VAE training fit at all. Flash is therefore the
+default above the dense threshold.
 """
 
 from __future__ import annotations
@@ -67,12 +67,35 @@ def _dot(a, b, dims, precision=None):
     )
 
 
-# Logit matmuls run at HIGHEST precision: the reference's logits are unscaled
-# (magnitudes ~ +-10 even at D=4), and exp() turns the default bf16 matmul's
-# ~1e-2 absolute logit error into ~2% attention-weight error. The contraction
-# depth is only D (4..16), so fp32 passes here are nearly free. Value-side
-# dots keep the default precision — their error does not get exponentiated.
-_HI = jax.lax.Precision.HIGHEST
+# Logit matmuls run at bf16x3 precision (hand-rolled operand splitting —
+# Mosaic only lowers DEFAULT and HIGHEST): the reference's logits are
+# unscaled (magnitudes ~ +-10 even at D=4) and exp() turns a default
+# single-pass-bf16 matmul's ~1e-2 absolute logit error into ~2%
+# attention-weight error. Splitting each fp32 operand into a bf16 hi + lo
+# part and summing the three cross products (hi*hi + hi*lo + lo*hi) reduces
+# that to ~2^-22 relative — far below what exp can amplify into the outputs —
+# at HALF the MXU passes of HIGHEST (bf16x6). At contraction depth D=4..16
+# the logit dots are pure pass-count cost (each pass uses <=16/128 of the
+# MXU's depth), so the 6->3 pass cut is a direct win at the N=16384 site.
+# Value-side dots keep the default precision — their error is not
+# exponentiated.
+_HI = jax.lax.Precision.HIGHEST  # interpreter/CPU path only (tests)
+
+
+def _dot3(a, b, dims):
+    """fp32 dot via 3 single-pass bf16 MXU products (bf16x3, ~2^-22 rel err).
+
+    Drops only the lo*lo term (~2^-32 relative). fp32 accumulation via
+    preferred_element_type in _dot."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        _dot(a_hi, b_hi, dims)
+        + _dot(a_hi, b_lo, dims)
+        + _dot(a_lo, b_hi, dims)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +115,7 @@ def _fwd_kernel(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, *, block_k: int):
         acc_t, m, l = carry  # (C, bq), (1, bq), (1, bq)
         kt = kt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (D, bk)
         vt = vt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (C, bk)
-        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq) — unscaled logits^T
+        s_t = _dot3(kt, qt, ((0,), (0,)))  # (bk, bq) — unscaled logits^T
         m_new = jnp.maximum(m, jnp.max(s_t, axis=0, keepdims=True))
         p_t = jnp.exp(s_t - m_new)
         alpha = jnp.exp(m - m_new)
@@ -134,40 +157,29 @@ def _fwd(qt, kt, vt, block_q: int, block_k: int):
 
 
 # ---------------------------------------------------------------------------
-# Backward. delta_i = sum_c dO_ic * O_ic (computed outside, cheap). p is
-# recomputed blockwise as exp(s - lse).
+# Backward, ONE fused kernel. delta_i = sum_c dO_ic * O_ic (computed outside,
+# cheap). p is recomputed blockwise as exp(s - lse).
 #   dq_i = sum_j (p_ij * (dO_i v_j^T - delta_i)) k_j
 #   dk_j = sum_i (p_ij * (dO_i v_j^T - delta_i))^T q_i
 #   dv_j = sum_i p_ij^T dO_i
 # All tiles transposed: s_t (bk, bq); lse/delta rows (1, bq).
+#
+# A split dq-kernel + dkv-kernel design (the textbook flash backward) visits
+# every (i, j) tile pair TWICE, recomputing the logits s_t, the exp, and the
+# dp_t dot both times — and at D=4..16 those recomputes ARE the cost (the
+# N=16384 conv-VAE site is bound on exactly them, BASELINE.md). Fusing lets
+# each tile pair be computed once: the kernel runs grid (b, key blocks),
+# holds dk/dv accumulators for its key block, and accumulates the dq
+# contribution of every (i, j) pair into a full-row (D, N) output that stays
+# resident in VMEM across the key-block grid steps (its index map is
+# constant along j, so Pallas never writes it back until the batch row
+# changes; D<=16, so the resident row is <=1 MB even at N=16384).
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(
-    qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref, dqt_ref, *, block_k
-):
-    qt = qt_ref[0].astype(jnp.float32)  # (D, bq)
-    dot_blk = dot_ref[0].astype(jnp.float32)  # (C, bq)
-    lse = lse_ref[0]  # (1, bq)
-    delta = delta_ref[0]  # (1, bq)
-    n = kt_ref.shape[-1]
-    d, bq = qt.shape
-
-    def body(j, dqt):
-        kt = kt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (D, bk)
-        vt = vt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (C, bk)
-        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq)
-        p_t = jnp.exp(s_t - lse)
-        dp_t = _dot(vt, dot_blk, ((0,), (0,)))  # (bk, bq)
-        ds_t = p_t * (dp_t - delta)
-        return dqt + _dot(kt, ds_t, ((1,), (0,)))  # (D, bq)
-
-    dqt = jax.lax.fori_loop(0, n // block_k, body, jnp.zeros((d, bq), jnp.float32))
-    dqt_ref[0] = dqt.astype(dqt_ref.dtype)
-
-
-def _bwd_dkv_kernel(
-    qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref, dkt_ref, dvt_ref, *, block_q
+def _bwd_fused_kernel(
+    qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref,
+    dqt_ref, dkt_ref, dvt_ref, *, block_q
 ):
     kt = kt_ref[0].astype(jnp.float32)  # (D, bk)
     vt = vt_ref[0].astype(jnp.float32)  # (C, bk)
@@ -175,18 +187,27 @@ def _bwd_dkv_kernel(
     d, bk = kt.shape
     c = vt.shape[0]
 
+    @pl.when(pl.program_id(1) == 0)
+    def _zero_dq():
+        dqt_ref[0] = jnp.zeros_like(dqt_ref[0])
+
     def body(i, carry):
         dkt, dvt = carry
         qt = qt_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)  # (D, bq)
         dot_blk = dot_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
         lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
         delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
-        s_t = _dot(kt, qt, ((0,), (0,)), _HI)  # (bk, bq)
+        s_t = _dot3(kt, qt, ((0,), (0,)))  # (bk, bq)
         p_t = jnp.exp(s_t - lse)
         dvt_new = dvt + _dot(dot_blk, p_t, ((1,), (1,)))  # (C, bk)
         dp_t = _dot(vt, dot_blk, ((0,), (0,)))  # (bk, bq)
         ds_t = p_t * (dp_t - delta)
         dkt_new = dkt + _dot(qt, ds_t, ((1,), (1,)))  # (D, bk)
+        dq_i = _dot(kt, ds_t, ((1,), (0,)))  # (D, bq)
+        cur = dqt_ref[0, :, pl.ds(i * block_q, block_q)]
+        dqt_ref[0, :, pl.ds(i * block_q, block_q)] = (
+            cur + dq_i.astype(dqt_ref.dtype)
+        )
         return dkt_new, dvt_new
 
     dk0 = jnp.zeros((d, bk), jnp.float32)
@@ -204,24 +225,8 @@ def _bwd(block_q, block_k, residuals, g_t):
         g_t.astype(jnp.float32) * out_t.astype(jnp.float32), axis=1, keepdims=True
     )  # (B, 1, N)
 
-    dqt = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k),
-        grid=(b, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, c, n), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, c, block_q), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, d, n), qt.dtype),
-        interpret=_use_interpret(),
-    )(qt, kt, vt, g_t, lse, delta)
-
-    dkt, dvt = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q),
+    dqt, dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, block_q=block_q),
         grid=(b, n // block_k),
         in_specs=[
             pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
@@ -232,10 +237,12 @@ def _bwd(block_q, block_k, residuals, g_t):
             pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, d, block_k), lambda i, j: (i, 0, j)),
             pl.BlockSpec((1, c, block_k), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((b, d, n), qt.dtype),
             jax.ShapeDtypeStruct((b, d, n), kt.dtype),
             jax.ShapeDtypeStruct((b, c, n), vt.dtype),
         ],

@@ -30,7 +30,7 @@ import optax
 from tinydiffusion_tpu.obs.profiling import force
 
 
-def run_traced_steps(out_dir: str, steps: int) -> None:
+def _unet28_stepper(batch: int):
     from tinydiffusion_tpu.core.schedule import DiffusionSchedule
     from tinydiffusion_tpu.models.unet28 import UNet28
     from tinydiffusion_tpu.train.trainer import create_train_state, make_train_step
@@ -38,18 +38,64 @@ def run_traced_steps(out_dir: str, steps: int) -> None:
     model = UNet28(dtype=jnp.bfloat16)
     tx = optax.adam(1e-3)
     schedule = DiffusionSchedule.linear(1000)
-    ex = (jnp.zeros((128, 28, 28, 1), jnp.float32), jnp.zeros((128,), jnp.int32))
+    ex = (jnp.zeros((batch, 28, 28, 1), jnp.float32), jnp.zeros((batch,), jnp.int32))
     state = create_train_state(model, tx, ex, jax.random.PRNGKey(0))
     step = make_train_step(model, tx, schedule)
     x0 = jnp.asarray(
-        np.random.default_rng(0).standard_normal((128, 28, 28, 1)), jnp.float32
+        np.random.default_rng(0).standard_normal((batch, 28, 28, 1)), jnp.float32
     )
+    return step, state, (x0,)
+
+
+def _vae256_stepper(batch: int):
+    from tinydiffusion_tpu.experiments.vae_laion import (
+        ConvVAETrainState,
+        make_conv_vae_train_step,
+    )
+    from tinydiffusion_tpu.models.vae_conv import ConvVAE, PerceptualNet
+
+    model = ConvVAE(latent_dim=128, image_size=256)
+    perceptual = PerceptualNet()
+    perc_params = perceptual.init(
+        jax.random.PRNGKey(123), jnp.zeros((1, 256, 256, 3))
+    )["params"]
+    tx = optax.adam(1e-4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 256, 256, 3)),
+        jax.random.PRNGKey(0), train=False,
+    )
+    state = ConvVAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(1),
+    )
+    raw = make_conv_vae_train_step(model, perceptual, perc_params, tx, beta=1.0)
+
+    def step(s, xx):
+        s2, loss, _ = raw(s, xx)
+        return s2, loss
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, 256, 256, 3)), jnp.float32
+    )
+    return step, state, (x,)
+
+
+_STEPPERS = {"unet28": (_unet28_stepper, 128), "vae256": (_vae256_stepper, 4)}
+
+
+def run_traced_steps(out_dir: str, steps: int, model: str = "unet28",
+                     batch: int = 0) -> None:
+    make, default_batch = _STEPPERS[model]
+    step, state, args = make(batch or default_batch)
     for _ in range(3):  # compile + warm
-        state, loss = step(state, x0)
+        state, loss = step(state, *args)
     force(loss)
     with jax.profiler.trace(out_dir):
         for _ in range(steps):
-            state, loss = step(state, x0)
+            state, loss = step(state, *args)
         force(loss)
 
 
@@ -82,11 +128,13 @@ def summarize(out_dir: str, steps: int) -> dict:
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", default="unet28", choices=["unet28"])
+    parser.add_argument("--model", default="unet28", choices=sorted(_STEPPERS))
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override the model's default batch size")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--out", default="/tmp/xprof_trace")
     args = parser.parse_args()
-    run_traced_steps(args.out, args.steps)
+    run_traced_steps(args.out, args.steps, model=args.model, batch=args.batch)
     summarize(args.out, args.steps)
 
 
