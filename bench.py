@@ -10,9 +10,14 @@ Honesty rules (round-2 fixes of VERDICT weak #1/#2/#6):
 - sampling numbers are fp32 — the configuration every experiment ships
   (``sample_dtype="float32"``; a 1000-step bf16 chain visibly degrades
   samples). bf16 rides along explicitly labeled.
-- ``train_samples_per_sec_loop`` measures the AS-EXPERIMENTS-RUN loop:
-  host batch assembly (native uint8 gather+normalize), per-step transfer,
-  shard_batch, log-cadence host syncs — not just the resident-batch step.
+- ``train_samples_per_sec_loop`` measures the AS-EXPERIMENTS-RUN loop.
+  Since round 3 the shipped default is ``data_placement='auto'`` which
+  promotes to the HBM-resident path whenever the dataset fits (it always
+  does for MNIST), so the loop number IS the resident epoch loop: index
+  upload per epoch, scanned gather+normalize+step program, epoch-end
+  fetch. ``train_samples_per_sec_loop_host`` is the explicit
+  ``--data-placement host`` opt-out (host batch assembly, per-step
+  transfer, shard_batch, log-cadence host syncs).
 - Pallas kernels get a native self-check every bench run (flash attention
   fwd+bwd vs dense; fused q_sample closed-form identity + noise moments),
   so the driver-captured BENCH gates the kernels each round.
@@ -165,9 +170,10 @@ def main():
     n_chips = len(jax.devices())
     train_sps_per_chip = TRAIN_STEPS * BATCH / train_dt / n_chips
 
-    # Loop-level throughput: the shipped experiment loop — uint8 host data,
-    # native gather batch assembly, threaded device-prefetch with on-device
-    # normalize, and the log_every host-sync cadence (every 100 steps).
+    # Host-streamed loop throughput (the explicit --data-placement host
+    # opt-out; 'auto' promotes MNIST-scale sets to the resident path below):
+    # uint8 host data, native gather batch assembly, threaded
+    # device-prefetch with on-device normalize, log_every host syncs.
     from tinydiffusion_tpu.data.loader import BatchIterator, prefetch_to_device
     from tinydiffusion_tpu.obs.metrics import LossAccumulator
     from tinydiffusion_tpu.parallel.mesh import batch_sharding
@@ -216,11 +222,14 @@ def main():
     )
     if mesh is not None:
         xbig = shard_batch(mesh, xbig)
-    for _ in range(3):
+    # Same methodology as the b128 headline number (TRAIN_STEPS timed
+    # iterations, 5 warmups) — r2's 10-iteration timing overstated the
+    # b512 gap (reported -7%; the step-level gap is -2%, BASELINE.md).
+    for _ in range(5):
         state_big, loss_big = train_step(state_big, xbig)
     force(loss_big)
-    big_dt, state_big = time_chained(train_step, state_big, xbig, 10)
-    big_sps = 10 * BIG / big_dt / n_chips
+    big_dt, state_big = time_chained(train_step, state_big, xbig, TRAIN_STEPS)
+    big_sps = TRAIN_STEPS * BIG / big_dt / n_chips
 
     # Fused Pallas q_sample path (opt-in flag; VERDICT weak #4 wiring).
     fused_stats = {}
@@ -326,8 +335,8 @@ def main():
                 "value": round(train_sps_per_chip, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "train_samples_per_sec_loop": round(loop_sps, 1),
-                "train_samples_per_sec_resident_data": round(resident_sps, 1),
+                "train_samples_per_sec_loop": round(resident_sps, 1),
+                "train_samples_per_sec_loop_host": round(loop_sps, 1),
                 "train_samples_per_sec_b512": round(big_sps, 1),
                 **fused_stats,
                 "sample_1000step_images_per_sec_fp32": round(images_per_sec, 3),
