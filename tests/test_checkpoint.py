@@ -78,6 +78,7 @@ def test_resume_continues_identically(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 def test_best_keeper_policy(tmp_path):
     _, _, state = _state()
     keeper = BestKeeper(str(tmp_path / "best"))

@@ -121,6 +121,7 @@ def test_decode_roundtrip(ours):
     assert ours.decode(ids) == "the cat sits on the mat"
 
 
+@pytest.mark.heavy
 def test_encoder_string_to_embedding_end_to_end(oracle, ours, tok_files):
     """Drives CLIPTextFlaxEncoder.encode — strings in, (B, dim) out — against
     the reference's exact torch pipeline (tokenize, forward, last-token pool:

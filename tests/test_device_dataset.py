@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 from tinydiffusion_tpu.data.device import DeviceDataset
@@ -42,6 +43,7 @@ def test_resident_batches_match_host_iterator(rng):
         np.testing.assert_array_equal(np.asarray(dy), hy)
 
 
+@pytest.mark.heavy
 def test_resident_latent_multi_step_matches_single_steps(rng):
     """make_resident_latent_multi_step (frozen-VAE encode in-program over
     the pinned split) trains like the per-batch latent step."""
@@ -84,6 +86,7 @@ def test_resident_latent_multi_step_matches_single_steps(rng):
                                rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_resident_multi_step_matches_single_steps(rng):
     imgs, labels = _data(rng)
     u8 = (2.0 / 255.0, -1.0)
@@ -124,6 +127,7 @@ def test_resident_multi_step_matches_single_steps(rng):
                                    rtol=5e-2, atol=5e-3)
 
 
+@pytest.mark.heavy
 def test_resident_multi_step_dp_equals_single(rng):
     """Resident scan under an 8-device DP mesh == single-device resident
     scan on the same pinned data and index stream (round-2 VERDICT next #1:

@@ -43,6 +43,7 @@ from tinydiffusion_tpu.core.schedule import DiffusionSchedule  # noqa: E402
 from tinydiffusion_tpu.models.unet28 import UNet28  # noqa: E402
 
 
+@pytest.mark.heavy
 def test_full_chain_matches_reference():
     import diffusion as ref
 

@@ -179,6 +179,7 @@ def test_mlp_unet_matches_reference():
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_dit_matches_reference():
     import diffusion_transformer as ref
 

@@ -27,7 +27,10 @@ def _latent_args(batch=B):
     )
 
 
-@pytest.mark.parametrize("model_cls", [MLPUNetLatent, DiT])
+@pytest.mark.parametrize(
+    "model_cls",
+    [MLPUNetLatent, pytest.param(DiT, marks=pytest.mark.heavy)],
+)
 def test_latent_model_shapes(model_cls):
     model = model_cls()
     args = _latent_args()
@@ -85,6 +88,7 @@ def test_dit_conditioning_changes_output():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("model_cls", [MLPUNetLatent, DiT])
 def test_latent_train_step_decreases_loss(model_cls):
     vae = VAEMnist()

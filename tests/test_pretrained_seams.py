@@ -86,6 +86,7 @@ def test_gaussian_sample_semantics():
     np.testing.assert_allclose(np.asarray(z), 3.0, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_sdvae_codec_roundtrip_jit(torch_vae):
     codec = SDVAEFlaxCodec.from_torch_state_dict(
         torch_vae.state_dict(), TINY_VAE_CFG
@@ -109,6 +110,7 @@ def test_sdvae_codec_roundtrip_jit(torch_vae):
     assert not np.allclose(np.asarray(z), np.asarray(z_mode))
 
 
+@pytest.mark.heavy
 def test_jitted_laion_train_step_with_converted_codec(torch_vae):
     """The 'sd' seam wired where round 1's host wrapper crashed under trace:
     the full codec-encode -> q_sample -> UNet -> Adam step as one program."""

@@ -83,6 +83,7 @@ def test_params_physically_sharded():
     assert all(shape[-1] == kernel.shape[-1] // 8 for shape in shard_shapes)
 
 
+@pytest.mark.heavy
 def test_tp_multi_step_stays_finite():
     model, schedule, tx, state, x0 = _setup()
     mesh = make_mesh(("data", "model"), shape=(2, 4))

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinydiffusion_tpu.compat.latent_codec import LinearPatchCodec, get_latent_codec
 from tinydiffusion_tpu.compat.text_encoder import HashTextEncoder, get_text_encoder
@@ -21,6 +22,7 @@ def test_hash_encoder_contract():
     assert sim_related > sim_unrelated
 
 
+@pytest.mark.heavy
 def test_auto_encoder_falls_back_offline():
     enc = get_text_encoder("auto", 768)
     assert enc.encode(["x"]).shape == (1, 768)
