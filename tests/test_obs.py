@@ -71,3 +71,31 @@ def test_throughput_counter():
     t = Throughput()
     t.add(100)
     assert t.samples_per_sec > 0
+
+
+def test_loss_accumulator_scalar_and_vector_mix():
+    """add (scalars) and add_many ((K,) vectors) interleave: count, sum,
+    mean, last, values all treat the buffer as the flat step stream."""
+    from tinydiffusion_tpu.obs.metrics import LossAccumulator
+
+    acc = LossAccumulator()
+    acc.add(jnp.asarray(1.0))
+    acc.add_many(jnp.asarray([2.0, 3.0, 4.0]))
+    acc.add(jnp.asarray(5.0))
+    acc.add_many(jnp.asarray([6.0]))  # ragged tail group
+    assert acc.count == 6
+    assert acc.sum() == 21.0
+    assert acc.mean() == 3.5
+    assert acc.last() == 6.0
+    np.testing.assert_allclose(acc.values(), [1, 2, 3, 4, 5, 6])
+    acc.reset()
+    assert acc.count == 0 and acc.sum() == 0.0
+
+
+def test_loss_accumulator_finite_stats_with_vectors():
+    from tinydiffusion_tpu.obs.metrics import LossAccumulator
+
+    acc = LossAccumulator()
+    acc.add_many(jnp.asarray([1.0, jnp.inf, 3.0]))
+    mean, bad = acc.finite_mean_and_bad_count()
+    assert mean == 2.0 and bad == 1

@@ -178,8 +178,7 @@ def run(config: ConditionalDiffusionConfig) -> dict:
             for start in range(0, len(idxs), g):
                 chunk = jnp.asarray(idxs[start : start + g])
                 state, losses = resident_step(state, chunk)
-                for j in range(chunk.shape[0]):
-                    train_acc.add(losses[j])
+                train_acc.add_many(losses)
                 throughput.add(chunk.shape[0] * config.batch_size)
                 logger.log(
                     {"epoch": epoch, "batch": start,

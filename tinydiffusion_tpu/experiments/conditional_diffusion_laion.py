@@ -454,8 +454,10 @@ def run(config: LaionDiffusionConfig) -> dict:
             for start in range(0, len(idxs_np), g):
                 chunk = jnp.asarray(idxs_np[start : start + g])
                 state, losses = resident_step(state, chunk)
-                for j in range(chunk.shape[0]):
-                    train_acc.add(losses[j])
+                # One bulk fetch per group (per-element losses[j] slicing
+                # spawns a tiny device program per element).
+                host_losses = np.asarray(jax.device_get(losses))
+                train_acc.add_many(host_losses)
                 throughput.add(chunk.shape[0] * config.batch_size)
                 end = start + int(chunk.shape[0]) - 1
                 # The scanned (K,) losses let the reference's exact
@@ -465,7 +467,7 @@ def run(config: LaionDiffusionConfig) -> dict:
                 for j in range(int(chunk.shape[0])):
                     if (start + j) % config.log_every == 0:
                         logger.log({"epoch": epoch, "batch": start + j,
-                                    "batch_train_loss": float(losses[j])})
+                                    "batch_train_loss": float(host_losses[j])})
                 # Mid-epoch sampling (conditional_diffusion_laion.py:479-496)
                 # fires at the first dispatch boundary past each
                 # sample_every_batches multiple — the state inside a window
@@ -492,8 +494,7 @@ def run(config: LaionDiffusionConfig) -> dict:
                 xs = jnp.stack([g[0] for g in group])
                 es = jnp.stack([g[1] for g in group])
                 state, losses = train_step(state, xs, es)
-                for j in range(len(group)):
-                    train_acc.add(losses[j])
+                train_acc.add_many(losses)
                 group.clear()
                 return state
 

@@ -317,15 +317,18 @@ def run(config: VAELaionConfig) -> dict:
             for start in range(0, len(idxs), g):
                 chunk = jnp.asarray(idxs[start : start + g])
                 state, losses, components = resident_step(state, chunk)
-                for j in range(chunk.shape[0]):
-                    train_acc.add(losses[j])
-                    for k, v in components.items():
-                        comp_acc.setdefault(k, LossAccumulator()).add(v[j])
+                # ONE host fetch per group: per-element losses[j]/v[j]
+                # slicing spawned ~60 tiny device programs per 10-step
+                # group (6 vectors x K elements) plus 6 fetch round-trips.
+                host_losses, host_comp = jax.device_get((losses, components))
+                train_acc.add_many(np.asarray(host_losses))
+                for k, v in host_comp.items():
+                    comp_acc.setdefault(k, LossAccumulator()).add_many(np.asarray(v))
                 n_seen += chunk.shape[0] * config.batch_size
-                comp = {k: float(v[0]) for k, v in components.items()}
+                comp = {k: float(v[0]) for k, v in host_comp.items()}
                 logger.log(
                     {"epoch": epoch, "batch": start,
-                     "batch_train_loss": float(losses[0]) / config.batch_size,
+                     "batch_train_loss": float(host_losses[0]) / config.batch_size,
                      **comp}
                 )
         else:
