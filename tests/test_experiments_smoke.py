@@ -165,3 +165,32 @@ def test_conditional_diffusion_laion_multistep_smoke(tmp_path):
     )
     result = run(cfg)
     assert np.isfinite(result["val_losses"]).all()
+
+
+@pytest.mark.slow
+def test_vae_laion_resident_val_matches_host(tmp_path):
+    """The pinned one-dispatch val pass reports the same per-epoch test
+    losses as the host-streamed loop (same key cadence
+    fold_in(seed+5, epoch*1000+i), same batch composition)."""
+    from tinydiffusion_tpu.experiments.vae_laion import VAELaionConfig, run
+
+    def go(placement, tag):
+        cfg = VAELaionConfig(
+            epochs=2, batch_size=4, image_size=32, latent_dim=8, n_records=48,
+            out_dir=str(tmp_path / tag),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            # Per-run cache: a shared dir makes run 2 decode run 1's LOSSY
+            # JPEG cache writes while run 1 trained on pre-encode pixels.
+            image_cache_dir=str(tmp_path / f"cache_{tag}"),
+            failed_urls_cache=str(tmp_path / f"failed_{tag}.json"),
+            max_steps_per_epoch=3, log_interval=1, use_flash_attention=False,
+            data_placement=placement, use_mesh=False,
+        )
+        return run(cfg)
+
+    res = go("device", "resident")
+    host = go("host", "host")
+    assert np.isfinite(res["test_losses"]).all()
+    np.testing.assert_allclose(
+        res["test_losses"], host["test_losses"], rtol=1e-5
+    )

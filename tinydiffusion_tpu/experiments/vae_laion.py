@@ -268,6 +268,7 @@ def run(config: VAELaionConfig) -> dict:
         config.data_placement, train_images.nbytes, config.batch_size,
         mesh, "vae_laion",
     )
+    resident_eval = None
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
         from tinydiffusion_tpu.parallel.mesh import replicated_sharding
@@ -288,6 +289,44 @@ def run(config: VAELaionConfig) -> dict:
             model, perceptual, perc_params, tx, config.beta, device_data,
             mesh=mesh,
         )
+        # Pin the val split too (the r2-weak-#8 treatment, extended to the
+        # LAION VAE): the epoch-end val pass becomes ONE dispatch instead
+        # of a host-streamed batch loop. Gated on the val split containing
+        # no all-zero images so the host path's all-zero-batch skip
+        # (vae_laion.py:346-350) is provably a no-op and the scanned pass
+        # replays the host key cadence fold_in(seed+5, epoch*1000+i)
+        # exactly.
+        if val_images.reshape(len(val_images), -1).any(axis=1).all():
+            from tinydiffusion_tpu.train.trainer import make_resident_eval
+
+            device_val = DeviceDataset(
+                [val_images], config.batch_size, shuffle=False,
+                seed=config.seed, u8_normalize=u8,
+                sharding=replicated_sharding(mesh) if mesh is not None else None,
+            )
+
+            def _val_body(ctx, batch, key):
+                params, batch_stats = ctx
+                (x,) = batch
+                recon, mu, logvar = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, key, train=False,
+                )
+                recon_img = recon.reshape(x.shape)
+                rf = perceptual.apply({"params": perc_params}, recon_img)
+                tf = perceptual.apply({"params": perc_params}, x)
+                total, _ = conv_vae_loss(
+                    recon_img, x, mu, logvar, rf, tf, config.beta
+                )
+                return total
+
+            resident_eval = make_resident_eval(
+                _val_body, device_val, jax.random.PRNGKey(config.seed + 5),
+                mesh=mesh, fold_stride=1000,
+            )
+        else:
+            print("val split contains all-zero images; keeping the "
+                  "host-streamed val pass (all-zero-batch-skip parity).")
     train_step = make_conv_vae_train_step(model, perceptual, perc_params, tx, config.beta, mesh)
     eval_step = make_conv_vae_eval_step(model, perceptual, perc_params, config.beta, mesh)
 
@@ -368,19 +407,32 @@ def run(config: VAELaionConfig) -> dict:
 
         test_acc, n_test = LossAccumulator(), 0
         test_sizes: list = []
-        val_batches = prefetch_to_device(
-            nonzero_batches(val_it.epoch()), sharding=batch_sh,
-            transform=val_it.device_transform,
-        )
-        for i, (x,) in enumerate(val_batches):
-            if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
-                break
-            key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 5), epoch * 1000 + i)
-            loss, recon = eval_step(state.params, state.batch_stats, x, key)
-            test_acc.add(loss)
-            test_sizes.append(len(x))
-            n_test += len(x)
-            if i == 0:
+        if resident_eval is not None:
+            vidxs = device_val.epoch_index_batches(0)
+            if config.max_steps_per_epoch:
+                vidxs = vidxs[: config.max_steps_per_epoch]
+            if len(vidxs):
+                vals_host = np.asarray(
+                    resident_eval(
+                        (state.params, state.batch_stats), epoch, vidxs
+                    ),
+                    np.float64,
+                )
+                test_acc.add_many(vals_host)
+                test_sizes = [config.batch_size] * len(vals_host)
+                n_test = config.batch_size * len(vals_host)
+            # Reconstruction panel from the first val batch (one streamed
+            # batch — the scanned pass returns losses only).
+            first = next(iter(prefetch_to_device(
+                val_it.epoch(), sharding=batch_sh,
+                transform=val_it.device_transform,
+            )), None)
+            if first is not None:
+                (x,) = first
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(config.seed + 5), epoch * 1000
+                )
+                _, recon = eval_step(state.params, state.batch_stats, x, key)
                 n_img = min(config.n_images_to_log, len(x))
                 panel = np.concatenate(
                     [np.asarray(x[:n_img]), np.asarray(recon[:n_img])], axis=0
@@ -390,6 +442,29 @@ def run(config: VAELaionConfig) -> dict:
                 )
                 save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
                 logger.log_image("original_vs_reconstructed", panel_path)
+        else:
+            val_batches = prefetch_to_device(
+                nonzero_batches(val_it.epoch()), sharding=batch_sh,
+                transform=val_it.device_transform,
+            )
+            for i, (x,) in enumerate(val_batches):
+                if config.max_steps_per_epoch and i >= config.max_steps_per_epoch:
+                    break
+                key = jax.random.fold_in(jax.random.PRNGKey(config.seed + 5), epoch * 1000 + i)
+                loss, recon = eval_step(state.params, state.batch_stats, x, key)
+                test_acc.add(loss)
+                test_sizes.append(len(x))
+                n_test += len(x)
+                if i == 0:
+                    n_img = min(config.n_images_to_log, len(x))
+                    panel = np.concatenate(
+                        [np.asarray(x[:n_img]), np.asarray(recon[:n_img])], axis=0
+                    )
+                    panel_path = (
+                        f"{config.out_dir}/original_vs_reconstructed_epoch_{epoch}.png"
+                    )
+                    save_image_grid(panel, panel_path, nrow=n_img, normalize=False)
+                    logger.log_image("original_vs_reconstructed", panel_path)
         eval_bad = 0
         if n_test == 0:
             # Tiny configs can leave the 10% val split with zero full
