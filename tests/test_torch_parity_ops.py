@@ -75,3 +75,31 @@ def test_sinusoidal_embedding_matches_reference_formula():
     odd = np.asarray(sinusoidal_time_embedding(jnp.asarray(t), 7))
     assert odd.shape == (4, 7)
     np.testing.assert_allclose(odd[:, -1], 0.0)
+
+
+def test_cosine_annealing_lr_matches_torch_past_t_max():
+    """conditional_diffusion_laion.py:435-438, 473: CosineAnnealingLR
+    (T_max=num_epochs, eta_min=1e-6) stepped PER BATCH. Torch's recursion
+    is periodic past T_max (lr oscillates back up to base lr with period
+    2*T_max) — the regime the published 1000-epoch recipe spends ~999
+    epochs in. Assert our closed form tracks torch at every step through
+    two full periods."""
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        cosine_annealing_lr,
+    )
+
+    lr, lr_min, t_max, n_steps = 1e-4, 1e-6, 50, 201
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(m.parameters(), lr=lr)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=t_max, eta_min=lr_min
+    )
+    theirs = []
+    for _ in range(n_steps):
+        theirs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sch.step()
+
+    schedule = cosine_annealing_lr(lr, lr_min, t_max)
+    ours = [float(schedule(jnp.asarray(s))) for s in range(n_steps)]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-12)
