@@ -321,6 +321,19 @@ def main():
     # bf16 chain: labeled extra only (NOT the shipped configuration).
     images_per_sec_bf16 = N_SAMPLE_IMAGES / time_sampler(jnp.bfloat16, N_SAMPLE_IMAGES)
 
+    # DDIM-50 serving path (generate.py --sampler ddim): same checkpoint,
+    # 50 model forwards instead of 1000, fp32, deterministic (eta=0).
+    ddim_sampler = make_sampler(
+        model, schedule, (N_SAMPLE_IMAGES, 28, 28, 1), dtype=jnp.float32,
+        method="ddim", sample_steps=50,
+    )
+    out = ddim_sampler(state.params, state.batch_stats, jax.random.PRNGKey(1))
+    force(out)
+    t0 = time.perf_counter()
+    out = ddim_sampler(state.params, state.batch_stats, jax.random.PRNGKey(2))
+    force(out)
+    images_per_sec_ddim50 = N_SAMPLE_IMAGES / (time.perf_counter() - t0)
+
     checks = kernel_selfchecks()
 
     vs_baseline = (
@@ -342,6 +355,7 @@ def main():
                 "sample_1000step_images_per_sec_fp32": round(images_per_sec, 3),
                 "sample_1000step_images_per_sec_b128_fp32": round(images_per_sec_b128, 3),
                 "sample_1000step_images_per_sec_bf16": round(images_per_sec_bf16, 3),
+                "sample_ddim50_images_per_sec_fp32": round(images_per_sec_ddim50, 3),
                 "sample_chain_seconds_fp32": round(sample_dt, 3),
                 "train_step_ms": round(train_dt / TRAIN_STEPS * 1e3, 3),
                 "latent_step_ms_single_dispatch": round(dt_lat_single * 1e3, 3),

@@ -3,10 +3,13 @@
 The reference has no serving layer — its ``sample()`` functions are only
 reachable from inside training scripts (SURVEY.md §3.5). This CLI is the
 standalone generation path: load an Orbax checkpoint produced by any of the
-pixel-space experiments and run the compiled 1000-step chain.
+pixel-space experiments and run the compiled reverse chain — the
+reference-faithful 1000-step ancestral sampler, or the accelerated DDIM
+serving path (same checkpoint, ~T/steps x fewer model forwards).
 
   python generate.py --checkpoint checkpoints/diffusion_final --n 64 --out samples.png
   python generate.py --checkpoint checkpoints/conditional_diffusion_best --digit 7
+  python generate.py --checkpoint checkpoints/diffusion_final --sampler ddim --sample-steps 50
 """
 
 from __future__ import annotations
@@ -28,6 +31,13 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num-timesteps", type=int, default=1000)
     parser.add_argument("--sample-dtype", default="float32")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+                        help="ddpm = reference-faithful T-step ancestral "
+                             "chain; ddim = accelerated serving path")
+    parser.add_argument("--sample-steps", type=int, default=50,
+                        help="DDIM model forwards (ignored for ddpm)")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic)")
     args = parser.parse_args(argv)
 
     import optax
@@ -61,6 +71,7 @@ def main(argv=None):
     sampler = make_sampler(
         model, schedule, (args.n, 28, 28, 1), conditional=conditional,
         dtype=resolve_dtype(args.sample_dtype),
+        method=args.sampler, sample_steps=args.sample_steps, eta=args.eta,
     )
     key = jax.random.PRNGKey(args.seed)
     labels = None

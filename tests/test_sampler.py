@@ -80,3 +80,106 @@ def test_x_init_override_is_deterministic():
     a = ddpm_sample(apply_fn, sched, (1, 4), jax.random.PRNGKey(0), x_init=x_init)
     b = ddpm_sample(apply_fn, sched, (1, 4), jax.random.PRNGKey(0), x_init=x_init)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------- DDIM ----
+
+
+def test_ddim_timesteps_endpoints_and_order():
+    from tinydiffusion_tpu.core.sampler import ddim_timesteps
+
+    for T, n in [(1000, 50), (1000, 1000), (100, 7), (10, 1), (10, 30)]:
+        taus = np.asarray(ddim_timesteps(T, n))
+        assert taus[0] == T - 1  # always start at max noise
+        if len(taus) > 1:  # n=1 is one forward at T-1 straight to x0_hat
+            assert taus[-1] == 0
+        assert (np.diff(taus) < 0).all() or len(taus) == 1
+        assert len(taus) == max(1, min(n, T))
+
+
+def test_ddim_eps_oracle_recovers_x0_exactly():
+    """With an exact ε-oracle for a fixed x0*, the DDIM (η=0) x0-prediction
+    is x0* at EVERY step, so the chain output equals x0* for ANY timestep
+    subsequence — the closed-form correctness check of the update rule."""
+    from tinydiffusion_tpu.core.sampler import ddim_sample
+
+    T = 100
+    sched = DiffusionSchedule.linear(T)
+    x0_star = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 5)), jnp.float32
+    )
+    sac = jnp.sqrt(sched.alphas_cumprod)
+    s1m = jnp.sqrt(1.0 - sched.alphas_cumprod)
+
+    def oracle(x, t_vec):
+        t = t_vec[0]
+        return (x - sac[t] * x0_star) / s1m[t]
+
+    for n_steps in (5, 13, 50, 100):
+        out = ddim_sample(
+            oracle, sched, x0_star.shape, jax.random.PRNGKey(1),
+            num_steps=n_steps, eta=0.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x0_star), atol=2e-4, rtol=1e-4,
+        )
+
+
+def test_ddim_eta0_deterministic_in_x_init():
+    """η=0 draws no per-step noise: identical x_init => identical output
+    under different PRNG keys."""
+    from tinydiffusion_tpu.core.sampler import ddim_sample
+
+    sched = DiffusionSchedule.linear(40)
+    apply_fn = lambda x, t: 0.3 * x
+    x_init = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 4, 4, 1)), jnp.float32
+    )
+    a = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                    num_steps=10, eta=0.0, x_init=x_init)
+    b = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(9),
+                    num_steps=10, eta=0.0, x_init=x_init)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_ddim_eta_positive_stochastic_and_finite():
+    from tinydiffusion_tpu.core.sampler import ddim_sample
+
+    sched = DiffusionSchedule.linear(40)
+    apply_fn = lambda x, t: 0.3 * x
+    x_init = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 4, 4, 1)), jnp.float32
+    )
+    a = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                    num_steps=10, eta=1.0, x_init=x_init)
+    b = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(9),
+                    num_steps=10, eta=1.0, x_init=x_init)
+    assert np.isfinite(np.asarray(a)).all()
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_sampler_ddim_wiring():
+    """make_sampler(method='ddim') drives the conditional path end-to-end
+    (tiny model, tiny chain) and rejects unknown methods."""
+    import pytest
+
+    from tinydiffusion_tpu.experiments.common import make_sampler
+    from tinydiffusion_tpu.models.unet28 import UNet28
+
+    model = UNet28(time_dim=16, base_width=4, num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 28, 28, 1)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
+    )
+    sched = DiffusionSchedule.linear(10)
+    sampler = make_sampler(model, sched, (2, 28, 28, 1), conditional=True,
+                           method="ddim", sample_steps=4)
+    out = sampler(variables["params"], variables["batch_stats"],
+                  jax.random.PRNGKey(1), y=jnp.array([3, 7], jnp.int32))
+    assert out.shape == (2, 28, 28, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(ValueError, match="unknown sampler method"):
+        make_sampler(model, sched, (2, 28, 28, 1), method="plms")

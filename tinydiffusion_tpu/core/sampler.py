@@ -126,6 +126,104 @@ def ddpm_sample(
     return x
 
 
+def ddim_timesteps(num_timesteps: int, num_steps: int) -> jnp.ndarray:
+    """Descending DDIM timestep subsequence.
+
+    Evenly spaced over [0, T-1] (endpoints included) so the chain always
+    starts at the max-noise timestep T-1 and ends by predicting x_0 from
+    t=0, whatever ``num_steps`` is. Returned descending (scan order).
+    """
+    num_steps = max(1, min(num_steps, num_timesteps))
+    taus = jnp.round(
+        jnp.linspace(num_timesteps - 1, 0, num_steps)
+    ).astype(jnp.int32)
+    return taus
+
+
+def ddim_sample(
+    apply_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    num_steps: int = 50,
+    eta: float = 0.0,
+    dtype=jnp.float32,
+    x_init: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """DDIM sampler (Song et al. 2020) over a strided timestep subsequence,
+    compiled to a single ``lax.scan`` — the serving fast path.
+
+    The reference has no accelerated sampler: its inference cost is a fixed
+    1000 sequential model forwards (diffusion.py:254-276). DDIM shares the
+    trained ε-predictor and the same ᾱ tables, so any checkpoint trained by
+    any experiment here samples ~T/num_steps× faster at eta=0 with no
+    retraining. Update rule, stepping t -> s (s the next lower timestep in
+    the subsequence, s = -1 meaning ᾱ = 1, i.e. the final x_0 prediction):
+
+        x0_hat = (x - sqrt(1-ᾱ_t) ε̂) / sqrt(ᾱ_t)
+        σ      = η · sqrt((1-ᾱ_s)/(1-ᾱ_t)) · sqrt(1 - ᾱ_t/ᾱ_s)
+        x      = sqrt(ᾱ_s) x0_hat + sqrt(1-ᾱ_s-σ²) ε̂ + σ z
+
+    η=0 is deterministic given ``x_init`` (no per-step noise); η=1 matches
+    the DDPM posterior (σ̃) variance on the full sequence.
+
+    TPU notes: the (t, s) pairs are a precomputed device array scanned in
+    one jitted program; ᾱ gathers are table lookups in the scan body; the
+    whole chain costs num_steps model forwards with zero host syncs.
+    """
+    key, init_key = jax.random.split(key)
+    x = (
+        x_init.astype(dtype)
+        if x_init is not None
+        else jax.random.normal(init_key, shape, dtype=dtype)
+    )
+
+    taus = ddim_timesteps(schedule.num_timesteps, num_steps)
+    t_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
+    abar = schedule.alphas_cumprod
+    eta = float(eta)
+
+    def body(carry, inputs):
+        x, key = carry
+        t, s = inputs
+        batch = x.shape[0]
+        t_vec = jnp.full((batch,), t, dtype=jnp.int32)
+        eps_hat = apply_fn(x, t_vec).astype(x.dtype)
+
+        abar_t = abar[t]
+        abar_s = jnp.where(s >= 0, abar[jnp.maximum(s, 0)], 1.0)
+
+        x0_hat = (
+            x - jnp.sqrt(1.0 - abar_t).astype(x.dtype) * eps_hat
+        ) * jax.lax.rsqrt(abar_t).astype(x.dtype)
+
+        if eta > 0.0:
+            key, step_key = jax.random.split(key)
+            z = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - abar_s) / (1.0 - abar_t))
+                * jnp.sqrt(1.0 - abar_t / abar_s)
+            )
+            # No noise into the final x_0 prediction (s < 0), matching the
+            # t == 0 rule of the ancestral sampler.
+            sigma = jnp.where(s >= 0, sigma, 0.0)
+        else:
+            sigma = jnp.asarray(0.0, x.dtype)
+            z = jnp.zeros_like(x)
+
+        dir_coeff = jnp.sqrt(jnp.maximum(1.0 - abar_s - sigma**2, 0.0))
+        x = (
+            jnp.sqrt(abar_s).astype(x.dtype) * x0_hat
+            + dir_coeff.astype(x.dtype) * eps_hat
+            + sigma.astype(x.dtype) * z
+        )
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x, key), (taus, t_prev))
+    return x
+
+
 def ddpm_denoising_trajectory(
     apply_fn: DenoiseFn,
     schedule: DiffusionSchedule,

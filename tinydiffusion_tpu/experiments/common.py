@@ -10,7 +10,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tinydiffusion_tpu.core.sampler import ddpm_sample, ddpm_denoising_trajectory
+from tinydiffusion_tpu.core.sampler import (
+    ddim_sample,
+    ddpm_denoising_trajectory,
+    ddpm_sample,
+)
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 
 
@@ -30,15 +34,25 @@ def make_sampler(
     sample_shape: Tuple[int, ...],
     conditional: bool = False,
     dtype=jnp.float32,
+    method: str = "ddpm",
+    sample_steps: int = 50,
+    eta: float = 0.0,
 ):
-    """Jitted end-to-end sampler: the entire T-step reverse chain is one
-    compiled program (vs the reference's 1000 host-driven forwards,
+    """Jitted end-to-end sampler: the entire reverse chain is one compiled
+    program (vs the reference's 1000 host-driven forwards,
     diffusion.py:254-276). Eval-mode BN makes the scan body pure.
+
+    ``method='ddpm'`` (default) is the reference-faithful T-step ancestral
+    chain; ``method='ddim'`` is the accelerated serving path
+    (``sample_steps`` model forwards, deterministic at ``eta=0``) — same
+    checkpoint, no retraining (core/sampler.ddim_sample).
 
     Conditional input validation mirrors the reference's clean ValueErrors
     (conditional_diffusion.py:358-363) — a missing or mis-shaped ``y`` raises
     here on the host instead of surfacing as a cryptic broadcast error from
     inside the traced program."""
+    if method not in ("ddpm", "ddim"):
+        raise ValueError(f"unknown sampler method {method!r}; use 'ddpm' or 'ddim'")
 
     @partial(jax.jit, static_argnames=("n",))
     def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
@@ -49,6 +63,11 @@ def make_sampler(
             args = (x, t_vec, y) if conditional else (x, t_vec)
             return model.apply(variables, *args, train=False)
 
+        if method == "ddim":
+            return ddim_sample(
+                apply_fn, schedule, shape, key,
+                num_steps=sample_steps, eta=eta, dtype=dtype,
+            )
         return ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype)
 
     def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
