@@ -29,6 +29,9 @@ C_VAL = "#ea580c"
 INK = "#374151"
 GRID = "#e5e7eb"
 
+# Experiments differ in epoch-summary key names: the VAEs log
+# train_loss/test_loss, the diffusion loops epoch_train_loss/val_loss.
+TRAIN_KEYS = ("train_loss", "epoch_train_loss")
 VAL_KEYS = ("test_loss", "val_loss")
 
 
@@ -41,7 +44,7 @@ def load_epochs(path: str) -> list[dict]:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if "train_loss" in rec or any(k in rec for k in VAL_KEYS):
+            if any(k in rec for k in TRAIN_KEYS + VAL_KEYS):
                 rows.append(rec)
     return rows
 
@@ -60,7 +63,8 @@ def _style(ax):
 
 def plot(rows: list[dict], out: str, title: str) -> None:
     epochs = [r.get("epoch") for r in rows]
-    train = [r.get("train_loss") for r in rows]
+    train_key = next((k for k in TRAIN_KEYS if any(k in r for r in rows)), None)
+    train = [r.get(train_key) for r in rows]
     val_key = next((k for k in VAL_KEYS if any(k in r for r in rows)), None)
 
     components = [k for k in ("bce_epoch_max", "kld_epoch_max", "perceptual_epoch_max")
