@@ -38,6 +38,9 @@ def main(argv=None):
                         help="DDIM model forwards (ignored for ddpm)")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic)")
+    parser.add_argument("--guidance-scale", type=float, default=1.0,
+                        help="classifier-free guidance scale (checkpoints "
+                             "trained with --label-dropout only; 1 = off)")
     args = parser.parse_args(argv)
 
     import optax
@@ -56,22 +59,40 @@ def main(argv=None):
     time_dim = int(cfg.get("time_dim", 256))
     T = int(cfg.get("num_timesteps", args.num_timesteps))
 
-    model = UNet28(time_dim=time_dim, num_classes=num_classes, dtype=jnp.bfloat16)
+    # CFG checkpoints carry one extra (null-class) embedding row, trained by
+    # label dropout; only those can serve a guidance scale != 1.
+    cfg_trained = float(cfg.get("label_dropout", 0.0)) > 0
+    if args.guidance_scale != 1.0 and not cfg_trained:
+        parser.error(
+            "--guidance-scale needs a checkpoint trained with "
+            "--label-dropout > 0 (no null-class embedding row here)"
+        )
+    n_embed = (num_classes + 1) if (conditional and cfg_trained) else num_classes
+
+    model = UNet28(time_dim=time_dim, num_classes=n_embed, dtype=jnp.bfloat16)
     batch = int(cfg.get("batch_size", 128))
     example = [jnp.zeros((batch, 28, 28, 1)), jnp.zeros((batch,), jnp.int32)]
     if conditional:
         example.append(jnp.zeros((batch,), jnp.int32))
+    # Checkpoints trained with --ema-decay carry an EMA shadow of the params;
+    # the template must match the saved tree, and serving prefers the shadow.
+    use_ema = float(cfg.get("ema_decay", 0.0)) > 0
     template = create_train_state(
-        model, optax.adam(1e-3), tuple(example), jax.random.PRNGKey(0)
+        model, optax.adam(1e-3), tuple(example), jax.random.PRNGKey(0),
+        ema=use_ema,
     )
     state = restore_checkpoint(args.checkpoint, template)
-    print(f"loaded {args.checkpoint} (step {int(state.step)})")
+    params = state.ema_params if use_ema else state.params
+    print(f"loaded {args.checkpoint} (step {int(state.step)}"
+          + (", sampling from EMA params)" if use_ema else ")"))
 
     schedule = DiffusionSchedule.linear(T)
     sampler = make_sampler(
         model, schedule, (args.n, 28, 28, 1), conditional=conditional,
         dtype=resolve_dtype(args.sample_dtype),
         method=args.sampler, sample_steps=args.sample_steps, eta=args.eta,
+        guidance_scale=args.guidance_scale,
+        null_label=num_classes if cfg_trained else None,
     )
     key = jax.random.PRNGKey(args.seed)
     labels = None
@@ -82,9 +103,9 @@ def main(argv=None):
             key, y_key = jax.random.split(key)
             y = jax.random.randint(y_key, (args.n,), 0, num_classes)
         labels = np.asarray(y)
-        samples = sampler(state.params, state.batch_stats, key, y=y)
+        samples = sampler(params, state.batch_stats, key, y=y)
     else:
-        samples = sampler(state.params, state.batch_stats, key)
+        samples = sampler(params, state.batch_stats, key)
 
     images = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
     nrow = max(int(np.sqrt(args.n)), 1)

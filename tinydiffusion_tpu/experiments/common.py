@@ -37,6 +37,8 @@ def make_sampler(
     method: str = "ddpm",
     sample_steps: int = 50,
     eta: float = 0.0,
+    guidance_scale: float = 1.0,
+    null_label: Optional[int] = None,
 ):
     """Jitted end-to-end sampler: the entire reverse chain is one compiled
     program (vs the reference's 1000 host-driven forwards,
@@ -50,9 +52,23 @@ def make_sampler(
     Conditional input validation mirrors the reference's clean ValueErrors
     (conditional_diffusion.py:358-363) — a missing or mis-shaped ``y`` raises
     here on the host instead of surfacing as a cryptic broadcast error from
-    inside the traced program."""
+    inside the traced program.
+
+    ``guidance_scale`` != 1 (conditional models trained with
+    ``label_dropout``; requires ``null_label``, the reserved embedding row)
+    samples with classifier-free guidance: ``eps = eps_null +
+    s * (eps_cond - eps_null)``. The two predictions come from ONE model
+    forward at doubled batch (conditioning rows stacked), so each chain step
+    stays a single MXU-friendly program — eval-mode BN makes the doubled
+    batch semantics-exact."""
     if method not in ("ddpm", "ddim"):
         raise ValueError(f"unknown sampler method {method!r}; use 'ddpm' or 'ddim'")
+    guided = conditional and guidance_scale != 1.0
+    if guided and null_label is None:
+        raise ValueError(
+            "guidance_scale != 1 needs null_label (a model trained with "
+            "label_dropout; the reserved null embedding row)"
+        )
 
     @partial(jax.jit, static_argnames=("n",))
     def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
@@ -60,6 +76,13 @@ def make_sampler(
 
         def apply_fn(x, t_vec):
             variables = {"params": params, "batch_stats": batch_stats}
+            if guided:
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.concatenate([t_vec, t_vec])
+                y2 = jnp.concatenate([y, jnp.full_like(y, null_label)])
+                eps2 = model.apply(variables, x2, t2, y2, train=False)
+                eps_c, eps_n = jnp.split(eps2, 2)
+                return eps_n + guidance_scale * (eps_c - eps_n)
             args = (x, t_vec, y) if conditional else (x, t_vec)
             return model.apply(variables, *args, train=False)
 

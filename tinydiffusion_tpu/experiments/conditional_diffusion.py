@@ -77,6 +77,17 @@ class ConditionalDiffusionConfig:
     # groups per dispatch (see diffusion.py / data/device.py); 'auto'
     # (default) promotes to 'device' when the split fits in HBM. DP-capable.
     data_placement: str = "auto"
+    # EMA shadow of the params, updated in the jitted step and preferred for
+    # sampling when set (e.g. 0.999). 0 = off (reference-faithful). The
+    # best-val checkpoint carries the shadow; generate.py serves from it.
+    ema_decay: float = 0.0
+    # Classifier-free guidance (no reference counterpart). label_dropout > 0
+    # (e.g. 0.1) trains with labels randomly replaced by a reserved null
+    # class (one extra embedding row); guidance_scale != 1 then samples with
+    # eps = eps_null + s*(eps_cond - eps_null) — one doubled-batch forward
+    # per chain step. generate.py exposes --guidance-scale for serving.
+    label_dropout: float = 0.0
+    guidance_scale: float = 1.0
 
 
 def run(config: ConditionalDiffusionConfig) -> dict:
@@ -97,8 +108,13 @@ def run(config: ConditionalDiffusionConfig) -> dict:
                            u8_normalize=u8, device_normalize=True)
 
     schedule = DiffusionSchedule.linear(config.num_timesteps)
+    use_cfg = config.label_dropout > 0
+    # CFG reserves one extra embedding row (index num_classes) as the null
+    # class trained by label dropout.
     model = UNet28(
-        time_dim=config.time_dim, num_classes=config.num_classes, dtype=dtype
+        time_dim=config.time_dim,
+        num_classes=config.num_classes + (1 if use_cfg else 0),
+        dtype=dtype,
     )
     tx = optax.adam(config.lr)
 
@@ -108,7 +124,9 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         jnp.zeros((config.batch_size,), jnp.int32),
         jnp.zeros((config.batch_size,), jnp.int32),
     )
-    state = create_train_state(model, tx, example, init_rng)
+    use_ema = config.ema_decay > 0
+    ema_decay = config.ema_decay if use_ema else None
+    state = create_train_state(model, tx, example, init_rng, ema=use_ema)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     from tinydiffusion_tpu.experiments.common import resolve_data_placement
@@ -117,7 +135,10 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         config.data_placement, xt.nbytes + yt.nbytes, config.batch_size,
         mesh, "conditional",
     )
-    train_step = make_train_step(model, tx, schedule, conditional=True, mesh=mesh)
+    train_step = make_train_step(model, tx, schedule, conditional=True,
+                                 mesh=mesh, ema_decay=ema_decay,
+                                 label_dropout=config.label_dropout,
+                                 null_label=config.num_classes)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
         from tinydiffusion_tpu.parallel.mesh import replicated_sharding
@@ -129,7 +150,9 @@ def run(config: ConditionalDiffusionConfig) -> dict:
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_multi_step(
-            model, tx, schedule, device_data, conditional=True, mesh=mesh
+            model, tx, schedule, device_data, conditional=True, mesh=mesh,
+            ema_decay=ema_decay, label_dropout=config.label_dropout,
+            null_label=config.num_classes,
         )
         # Pin the (tiny) val split too: the whole val pass becomes one
         # dispatch per epoch with the host loop's exact fold_in key cadence
@@ -154,6 +177,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), conditional=True,
         dtype=resolve_dtype(config.sample_dtype),
+        guidance_scale=config.guidance_scale,
+        null_label=config.num_classes if use_cfg else None,
     )
 
     logger = MetricsLogger(
@@ -257,7 +282,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
             y_sample = jax.random.randint(
                 y_rng, (config.n_samples,), 0, config.num_classes
             )
-            samples = sampler(state.params, state.batch_stats, s_rng, y=y_sample)
+            samples = sampler(state.ema_params if use_ema else state.params,
+                              state.batch_stats, s_rng, y=y_sample)
             samples = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
             save_image_grid(
                 samples,
@@ -272,7 +298,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     # Post-training: digit-7 grid (conditional_diffusion.py:474-485).
     rng, s_rng = jax.random.split(rng)
     y7 = jnp.full((config.n_samples,), 7, jnp.int32)
-    samples = sampler(state.params, state.batch_stats, s_rng, y=y7)
+    samples = sampler(state.ema_params if use_ema else state.params,
+                      state.batch_stats, s_rng, y=y7)
     samples = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
     save_image_grid(
         samples, f"{config.out_dir}/generated_digit_7.png", nrow=4,
@@ -292,7 +319,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)
         traj = np.asarray(
             jax.device_get(
-                traj_fn(state.params, state.batch_stats, t_rng, y=y_traj)
+                traj_fn(state.ema_params if use_ema else state.params,
+                        state.batch_stats, t_rng, y=y_traj)
             ),
             np.float32,
         )

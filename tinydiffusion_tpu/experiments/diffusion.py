@@ -77,6 +77,11 @@ class DiffusionConfig:
     # under a DP mesh (replicated pin + sharded index gather); batch
     # composition replays the host stream exactly.
     data_placement: str = "auto"
+    # EMA decay for a shadow copy of the params, updated inside the jitted
+    # step and used for sampling/checkpointing when set (standard production
+    # DDPM practice, e.g. 0.999; the reference has no EMA). 0 = off
+    # (reference-faithful: sample from the live params).
+    ema_decay: float = 0.0
 
 
 def run(config: DiffusionConfig) -> dict:
@@ -103,7 +108,9 @@ def run(config: DiffusionConfig) -> dict:
         jnp.zeros((config.batch_size, 28, 28, 1), jnp.float32),
         jnp.zeros((config.batch_size,), jnp.int32),
     )
-    state = create_train_state(model, tx, example, init_rng)
+    use_ema = config.ema_decay > 0
+    ema_decay = config.ema_decay if use_ema else None
+    state = create_train_state(model, tx, example, init_rng, ema=use_ema)
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     from tinydiffusion_tpu.experiments.common import resolve_data_placement
@@ -124,7 +131,8 @@ def run(config: DiffusionConfig) -> dict:
             "resident scan uses the jax.random q_sample path)"
         )
     train_step = make_train_step(
-        model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample
+        model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample,
+        ema_decay=ema_decay,
     )
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
@@ -137,7 +145,7 @@ def run(config: DiffusionConfig) -> dict:
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_multi_step(
-            model, tx, schedule, device_data, mesh=mesh
+            model, tx, schedule, device_data, mesh=mesh, ema_decay=ema_decay
         )
     sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
@@ -202,7 +210,8 @@ def run(config: DiffusionConfig) -> dict:
 
         if config.sample_every_epoch:
             rng, sample_rng = jax.random.split(rng)
-            samples = sampler(state.params, state.batch_stats, sample_rng)
+            sample_params = state.ema_params if use_ema else state.params
+            samples = sampler(sample_params, state.batch_stats, sample_rng)
             samples = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
             save_image_grid(
                 samples,
@@ -233,7 +242,10 @@ def run(config: DiffusionConfig) -> dict:
         )
         rng, t_rng = jax.random.split(rng)
         trajectory = np.asarray(
-            jax.device_get(traj_fn(state.params, state.batch_stats, t_rng)),
+            jax.device_get(traj_fn(
+                state.ema_params if use_ema else state.params,
+                state.batch_stats, t_rng,
+            )),
             np.float32,
         )
         for i, frame in enumerate((trajectory + 1) / 2):

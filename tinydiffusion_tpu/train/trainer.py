@@ -37,6 +37,11 @@ class DiffusionTrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    # Optional EMA shadow of ``params`` (production-serving feature; the
+    # reference has none). ``None`` (the default) is an empty pytree node,
+    # so states and checkpoints written before this field existed keep the
+    # exact same tree structure.
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -45,8 +50,13 @@ def create_train_state(
     example_batch: Tuple[jnp.ndarray, ...],
     rng: jax.Array,
     init_kwargs: Optional[dict] = None,
+    ema: bool = False,
 ) -> DiffusionTrainState:
-    """Initialize params/batch_stats/opt_state from an example batch."""
+    """Initialize params/batch_stats/opt_state from an example batch.
+
+    ``ema=True`` adds an EMA shadow of the params (initialized equal to
+    them); pass a matching ``ema_decay`` to the step factories to update it.
+    """
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(init_rng, *example_batch, **(init_kwargs or {}))
     params = variables["params"]
@@ -57,6 +67,34 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         rng=state_rng,
+        # explicit copy: the shadow must not alias the param buffers — both
+        # live in the donated state, and donating one buffer through two
+        # pytree leaves is undefined on this runtime.
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+    )
+
+
+def _ema_update(state: DiffusionTrainState, new_params,
+                ema_decay: Optional[float]):
+    """EMA recurrence ``ema <- d*ema + (1-d)*params`` over the param tree.
+
+    Runs INSIDE the jitted step (fused by XLA with the optimizer update; no
+    extra dispatch or host traffic) and therefore behaves identically in the
+    single-step, multi-step, and HBM-resident scan paths. No bias
+    correction — the shadow starts at the init params (the standard DDPM
+    practice, decay ~0.999-0.9999)."""
+    if ema_decay is None:
+        return state.ema_params
+    if state.ema_params is None:
+        raise ValueError(
+            "ema_decay set but the train state has no ema_params; "
+            "build it with create_train_state(..., ema=True)"
+        )
+    d = jnp.float32(ema_decay)
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+        state.ema_params,
+        new_params,
     )
 
 
@@ -66,14 +104,37 @@ def _raw_step_fn(
     schedule: DiffusionSchedule,
     conditional: bool = False,
     fused_qsample: bool = False,
+    ema_decay: Optional[float] = None,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ) -> Callable:
     """The unjitted per-batch train step shared by ``make_train_step``
-    (jit of one batch) and ``make_multi_step`` (lax.scan over K batches)."""
+    (jit of one batch) and ``make_multi_step`` (lax.scan over K batches).
+
+    ``label_dropout`` > 0 (conditional models only) replaces each label with
+    ``null_label`` at that probability — classifier-free-guidance training
+    (Ho & Salimans 2022; no reference counterpart). The model must reserve an
+    embedding row for ``null_label`` (e.g. ``num_classes + 1`` rows). The
+    PRNG split changes only when the feature is on, so default-path noise
+    streams stay bitwise-identical."""
     if fused_qsample:
         from tinydiffusion_tpu.ops.qsample import q_sample_fused
+    if label_dropout > 0 and (not conditional or null_label is None):
+        raise ValueError(
+            "label_dropout requires conditional=True and a null_label"
+        )
 
     def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
-        rng, t_key, noise_key, drop_key = jax.random.split(state.rng, 4)
+        if label_dropout > 0:
+            rng, t_key, noise_key, drop_key, ldrop_key = jax.random.split(
+                state.rng, 5
+            )
+            keep = jax.random.bernoulli(
+                ldrop_key, 1.0 - label_dropout, y.shape
+            )
+            y = jnp.where(keep, y, jnp.full_like(y, null_label))
+        else:
+            rng, t_key, noise_key, drop_key = jax.random.split(state.rng, 4)
         batch = x0.shape[0]
         t = jax.random.randint(t_key, (batch,), 0, schedule.num_timesteps)
         if fused_qsample:
@@ -105,6 +166,7 @@ def _raw_step_fn(
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             rng=rng,
+            ema_params=_ema_update(state, new_params, ema_decay),
         )
         return new_state, loss
 
@@ -119,6 +181,9 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     state_sharding: Any = None,
     fused_qsample: bool = False,
+    ema_decay: Optional[float] = None,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -139,6 +204,9 @@ def make_train_step(
     ``jax.random`` — opt-in for throughput training only; parity/replay
     paths must keep the default. Off-TPU it falls back to the jax.random
     path. Single-device/1-chip meshes only (the kernel does not partition).
+
+    ``ema_decay``: update the state's EMA params each step (see
+    ``_ema_update``); requires ``create_train_state(..., ema=True)``.
     """
     if fused_qsample:
         # The Pallas kernel does not partition over a mesh (the off-TPU
@@ -153,7 +221,10 @@ def make_train_step(
                 "use the default q_sample path under DP/TP"
             )
 
-    step_fn = _raw_step_fn(model, tx, schedule, conditional, fused_qsample)
+    step_fn = _raw_step_fn(
+        model, tx, schedule, conditional, fused_qsample, ema_decay=ema_decay,
+        label_dropout=label_dropout, null_label=null_label,
+    )
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -179,6 +250,9 @@ def make_multi_step(
     conditional: bool = False,
     mesh: Optional[Mesh] = None,
     state_sharding: Any = None,
+    ema_decay: Optional[float] = None,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ) -> Callable:
     """K train steps per dispatch: ``step(state, x0s[, ys]) -> (state, losses)``.
 
@@ -193,7 +267,8 @@ def make_multi_step(
     compute). Scanning K steps inside the program pays the RTT once per K
     batches; the returned (K,) losses keep per-batch logging exact.
     """
-    single = _raw_step_fn(model, tx, schedule, conditional)
+    single = _raw_step_fn(model, tx, schedule, conditional, ema_decay=ema_decay,
+                          label_dropout=label_dropout, null_label=null_label)
 
     def step_fn(state: DiffusionTrainState, x0s: jnp.ndarray, ys=None):
         if conditional:
@@ -279,6 +354,9 @@ def make_resident_multi_step(
     conditional: bool = False,
     mesh: Optional[Mesh] = None,
     state_sharding: Any = None,
+    ema_decay: Optional[float] = None,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ) -> Callable:
     """Train over an HBM-resident dataset: ``step(state, idxs) -> (state,
     losses)`` where ``idxs`` is (K, B) int32 from
@@ -301,7 +379,8 @@ def make_resident_multi_step(
     backend's remote-compile service breaks on GB-scale payloads (observed
     with the 1.9 GB LAION-256 set; data/device.py gather_arrays docstring).
     """
-    single = _raw_step_fn(model, tx, schedule, conditional)
+    single = _raw_step_fn(model, tx, schedule, conditional, ema_decay=ema_decay,
+                          label_dropout=label_dropout, null_label=null_label)
 
     def step_fn(arrays, state: DiffusionTrainState, idxs: jnp.ndarray):
         def body(s, idx):
@@ -320,6 +399,7 @@ def make_latent_train_step(
     tx: optax.GradientTransformation,
     schedule: DiffusionSchedule,
     mesh: Optional[Mesh] = None,
+    ema_decay: Optional[float] = None,
 ) -> Callable:
     """Train step for latent diffusion (latent_diffusion.py:201-224 skeleton).
 
@@ -331,7 +411,8 @@ def make_latent_train_step(
 
     Returns ``step(state, vae_params, x0, y) -> (state, loss)``.
     """
-    step_fn = _raw_latent_step_fn(vae_model, model, tx, schedule)
+    step_fn = _raw_latent_step_fn(vae_model, model, tx, schedule,
+                                  ema_decay=ema_decay)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -345,7 +426,8 @@ def make_latent_train_step(
     )
 
 
-def _raw_latent_step_fn(vae_model, model, tx, schedule) -> Callable:
+def _raw_latent_step_fn(vae_model, model, tx, schedule,
+                        ema_decay: Optional[float] = None) -> Callable:
     """Unjitted latent-diffusion per-batch step (frozen-VAE encode folded
     in) — shared by ``make_latent_train_step`` and the resident variant."""
 
@@ -387,6 +469,7 @@ def _raw_latent_step_fn(vae_model, model, tx, schedule) -> Callable:
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             rng=rng,
+            ema_params=_ema_update(state, new_params, ema_decay),
         )
         return new_state, loss
 
@@ -394,7 +477,8 @@ def _raw_latent_step_fn(vae_model, model, tx, schedule) -> Callable:
 
 
 def make_resident_latent_multi_step(
-    vae_model, model, tx, schedule, dataset, mesh: Optional[Mesh] = None
+    vae_model, model, tx, schedule, dataset, mesh: Optional[Mesh] = None,
+    ema_decay: Optional[float] = None,
 ):
     """HBM-resident latent-diffusion training: ``step(state, vae_params,
     idxs) -> (state, losses)`` with ``idxs`` (K, B) int32 from
@@ -403,7 +487,8 @@ def make_resident_latent_multi_step(
     args (see ``DeviceDataset.gather_arrays``). Under a ``mesh`` the frozen
     VAE params ride replicated and the index batches shard over ``data``
     (see ``resident_jit``)."""
-    single = _raw_latent_step_fn(vae_model, model, tx, schedule)
+    single = _raw_latent_step_fn(vae_model, model, tx, schedule,
+                                 ema_decay=ema_decay)
 
     def step_fn(arrays, state: DiffusionTrainState, vae_params, idxs):
         def body(s, idx):
