@@ -165,3 +165,149 @@ def test_conditional_experiment_cfg_smoke(tmp_path):
         "--guidance-scale", "2.5",
     ])
     assert os.path.exists(out)
+
+
+# ---------------------------------------------------------------------------
+# Text-conditional (LAION) CFG: caption dropout + guided sampling
+# ---------------------------------------------------------------------------
+
+# Tiny time_dim / latent_size / latent_channels. latent_size must survive
+# the LatentUNet's three 2x pools (8 -> 4 -> 2 -> 1, all powers of two).
+TD, LS, LC = 16, 8, 2
+
+
+class _IdentityCodec:
+    """Test codec: 'images' are already latents; encode/decode are identity."""
+
+    def encode(self, images, key=None):
+        return images
+
+    def decode(self, latents):
+        return latents
+
+
+def _laion_setup():
+    from tinydiffusion_tpu.models.unet_latent import LatentUNet
+
+    schedule = DiffusionSchedule.linear(20)
+    model = LatentUNet(time_dim=TD, in_channels=LC, base_width=4)
+    tx = optax.sgd(1e-2)
+    x = jnp.zeros((B, LS, LS, LC), jnp.float32)
+    example = (x, jnp.zeros((B,), jnp.int32), jnp.zeros((B, TD), jnp.float32))
+    state = create_train_state(model, tx, example, jax.random.PRNGKey(0),
+                               ema=True)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.standard_normal((B, LS, LS, LC)), jnp.float32)
+    embeds = jnp.asarray(rng.standard_normal((B, TD)), jnp.float32)
+    null = jnp.asarray(rng.standard_normal((TD,)), jnp.float32)
+    return schedule, model, tx, state, images, embeds, null
+
+
+def test_laion_caption_dropout_and_ema_step():
+    """The text-conditional step trains with caption dropout + EMA: loss
+    finite, the EMA shadow moves and lags the live params."""
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        make_laion_train_step,
+    )
+
+    schedule, model, tx, state, images, embeds, null = _laion_setup()
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    step = make_laion_train_step(model, tx, schedule, _IdentityCodec(),
+                                 ema_decay=0.5, caption_dropout=0.5,
+                                 null_embed=null)
+    s = state
+    for _ in range(3):
+        s, loss = step(s, images, embeds)
+        assert np.isfinite(float(loss))
+    p, e = (jax.tree_util.tree_leaves(t) for t in (s.params, s.ema_params))
+    b = jax.tree_util.tree_leaves(before)
+    assert any(not np.array_equal(np.asarray(x), y) for x, y in zip(e, b))
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(e, p))
+
+
+def test_laion_caption_dropout_requires_null_embed():
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        make_laion_train_step,
+    )
+
+    schedule, model, tx, state, images, embeds, null = _laion_setup()
+    with pytest.raises(ValueError, match="null_embed"):
+        make_laion_train_step(model, tx, schedule, _IdentityCodec(),
+                              caption_dropout=0.5)
+
+
+def test_laion_guided_sampler_identities():
+    """s=1 bypasses the doubled-batch path and equals the plain sampler;
+    s=0 equals sampling with every embedding set to the null embedding;
+    s=3 changes the output and stays finite."""
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        make_laion_sampler,
+    )
+
+    schedule, model, tx, state, images, embeds, null = _laion_setup()
+    codec = _IdentityCodec()
+    kw = dict(n_samples=B, latent_size=LS, latent_channels=LC,
+              dtype=jnp.float32)
+    plain = make_laion_sampler(model, schedule, codec, **kw)
+    s1 = make_laion_sampler(model, schedule, codec, guidance_scale=1.0,
+                            null_embed=null, **kw)
+    s0 = make_laion_sampler(model, schedule, codec, guidance_scale=0.0,
+                            null_embed=null, **kw)
+    s3 = make_laion_sampler(model, schedule, codec, guidance_scale=3.0,
+                            null_embed=null, **kw)
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(plain(state.params, state.batch_stats, key, embeds))
+    np.testing.assert_allclose(
+        np.asarray(s1(state.params, state.batch_stats, key, embeds)), a,
+        rtol=1e-6)
+    null_b = jnp.broadcast_to(null[None, :], embeds.shape)
+    np.testing.assert_allclose(
+        np.asarray(s0(state.params, state.batch_stats, key, embeds)),
+        np.asarray(plain(state.params, state.batch_stats, key, null_b)),
+        rtol=1e-4, atol=1e-5)
+    g = np.asarray(s3(state.params, state.batch_stats, key, embeds))
+    assert np.isfinite(g).all()
+    assert np.abs(g - a).max() > 1e-6
+
+
+def test_laion_guided_sampler_requires_null_embed():
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        make_laion_sampler,
+    )
+
+    schedule, model, tx, state, images, embeds, null = _laion_setup()
+    with pytest.raises(ValueError, match="null_embed"):
+        make_laion_sampler(model, schedule, _IdentityCodec(), n_samples=B,
+                           latent_size=LS, latent_channels=LC,
+                           dtype=jnp.float32, guidance_scale=2.0)
+
+
+@pytest.mark.slow
+def test_laion_experiment_cfg_smoke(tmp_path):
+    """--caption-dropout / --guidance-scale / --ema-decay through the full
+    LAION experiment (offline synthetic data, hash encoder, patch codec)."""
+    import os
+
+    from tinydiffusion_tpu.experiments.conditional_diffusion_laion import (
+        LaionDiffusionConfig,
+        run,
+    )
+
+    cfg = LaionDiffusionConfig(
+        num_epochs=1, batch_size=4, num_timesteps=10, image_size=64,
+        latent_size=32, n_records=10,
+        out_dir=str(tmp_path / "out"),
+        image_cache_dir=str(tmp_path / "cache"),
+        failed_urls_cache=str(tmp_path / "failed.json"),
+        model_save_path=str(tmp_path / "ckpt" / "best"),
+        compute_dtype="float32", max_steps_per_epoch=2,
+        sample_every_batches=0, sample_every_epoch=True, latent_codec="patch",
+        text_encoder="hash", caption_dropout=0.25, guidance_scale=2.0,
+        ema_decay=0.9,
+    )
+    result = run(cfg)
+    assert np.isfinite(result["val_losses"]).all()
+    assert os.path.exists(tmp_path / "out" / "samples_epoch_0.png")
+    state = result["state"]
+    assert state.ema_params is not None

@@ -86,6 +86,9 @@ class LatentDiffusionConfig:
     # groups per dispatch (see diffusion.py / data/device.py); 'auto'
     # (default) promotes to 'device' when the split fits in HBM. DP-capable.
     data_placement: str = "auto"
+    # EMA shadow of the params, updated in the jitted step and preferred for
+    # sampling when set (e.g. 0.999). 0 = off (reference-faithful).
+    ema_decay: float = 0.0
 
 
 def steps_per_epoch_from_split(
@@ -237,7 +240,13 @@ def run(config: LatentDiffusionConfig) -> dict:
         jnp.zeros((config.batch_size,), jnp.int32),
         jnp.zeros((config.batch_size,), jnp.int32),
     )
-    state = create_train_state(model, tx, example, init_rng)
+    use_ema = config.ema_decay > 0
+    ema_decay = config.ema_decay if use_ema else None
+    state = create_train_state(model, tx, example, init_rng, ema=use_ema)
+
+    # Sampling prefers the EMA shadow when it exists.
+    def _sample_params(s):
+        return s.ema_params if use_ema else s.params
 
     mesh = make_mesh_for_batch(config.batch_size) if config.use_mesh else None
     if mesh is not None:
@@ -252,7 +261,8 @@ def run(config: LatentDiffusionConfig) -> dict:
         config.data_placement, xt.nbytes + yt.nbytes, config.batch_size,
         mesh, "latent",
     )
-    train_step = make_latent_train_step(vae_model, model, tx, schedule, mesh=mesh)
+    train_step = make_latent_train_step(vae_model, model, tx, schedule,
+                                        mesh=mesh, ema_decay=ema_decay)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
         from tinydiffusion_tpu.parallel.mesh import replicated_sharding
@@ -264,7 +274,8 @@ def run(config: LatentDiffusionConfig) -> dict:
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_latent_multi_step(
-            vae_model, model, tx, schedule, device_data, mesh=mesh
+            vae_model, model, tx, schedule, device_data, mesh=mesh,
+            ema_decay=ema_decay,
         )
         # Pinned val split: one dispatch per epoch, host key cadence
         # replayed exactly (VERDICT r2 weak #8).
@@ -389,7 +400,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         if config.sample_every_epoch:
             rng, y_rng, s_rng = jax.random.split(rng, 3)
             y_sample = jax.random.randint(y_rng, (config.n_samples,), 0, 10)
-            x = sampler(state.params, state.batch_stats, vae_params, s_rng, y_sample)
+            x = sampler(_sample_params(state), state.batch_stats, vae_params, s_rng, y_sample)
             x = (np.asarray(x, np.float32) + 1) / 2  # faithful quirk (see module doc)
             save_image_grid(
                 x, f"{config.out_dir}/generated_mnist_epoch_{epoch}.png", nrow=4,
@@ -408,7 +419,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)
         traj = np.asarray(
             jax.device_get(
-                traj_fn(state.params, state.batch_stats, vae_params, t_rng, y_traj)
+                traj_fn(_sample_params(state), state.batch_stats, vae_params, t_rng, y_traj)
             ),
             np.float32,
         )
@@ -421,7 +432,7 @@ def run(config: LatentDiffusionConfig) -> dict:
     # Final digit-7 grid (latent_diffusion.py:450-456).
     rng, s_rng = jax.random.split(rng)
     y7 = jnp.full((config.n_samples,), 7, jnp.int32)
-    x = sampler(state.params, state.batch_stats, vae_params, s_rng, y7)
+    x = sampler(_sample_params(state), state.batch_stats, vae_params, s_rng, y7)
     x = (np.asarray(x, np.float32) + 1) / 2
     save_image_grid(
         x, f"{config.out_dir}/generated_digit_7.png", nrow=4,
