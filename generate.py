@@ -86,13 +86,17 @@ def main(argv=None):
     print(f"loaded {args.checkpoint} (step {int(state.step)}"
           + (", sampling from EMA params)" if use_ema else ")"))
 
-    schedule = DiffusionSchedule.linear(T)
+    # The schedule and training target come from the sidecar: a checkpoint
+    # trained with --noise-schedule cosine or --prediction v must be served
+    # with matching sampler math.
+    schedule = DiffusionSchedule.make(cfg.get("noise_schedule", "linear"), T)
     sampler = make_sampler(
         model, schedule, (args.n, 28, 28, 1), conditional=conditional,
         dtype=resolve_dtype(args.sample_dtype),
         method=args.sampler, sample_steps=args.sample_steps, eta=args.eta,
         guidance_scale=args.guidance_scale,
         null_label=num_classes if cfg_trained else None,
+        prediction=cfg.get("prediction", "eps"),
     )
     key = jax.random.PRNGKey(args.seed)
     labels = None

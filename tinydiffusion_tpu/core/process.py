@@ -49,3 +49,35 @@ def q_sample_with_noise(
         schedule.sqrt_one_minus_alphas_cumprod[t].reshape(bshape).astype(x_0.dtype)
     )
     return sqrt_ac * x_0 + sqrt_1m_ac * noise
+
+
+def v_from_eps(
+    schedule: DiffusionSchedule,
+    x_0: jnp.ndarray,
+    noise: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """The v-prediction training target (Salimans & Ho 2022, eq. 11):
+    ``v = sqrt(abar_t) * eps - sqrt(1 - abar_t) * x_0``. No reference
+    counterpart (the reference trains eps-prediction only)."""
+    bshape = (-1,) + (1,) * (x_0.ndim - 1)
+    sa = schedule.sqrt_alphas_cumprod[t].reshape(bshape).astype(x_0.dtype)
+    sb = schedule.sqrt_one_minus_alphas_cumprod[t].reshape(bshape).astype(x_0.dtype)
+    return sa * noise - sb * x_0
+
+
+def eps_from_v(
+    schedule: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    v: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Recover the eps prediction from a v prediction at state x_t:
+    ``eps = sqrt(abar_t) * v + sqrt(1 - abar_t) * x_t`` (the algebraic
+    inverse of ``v_from_eps`` given ``x_t = q_sample(x_0, eps, t)``).
+    Lets every eps-based sampler (DDPM scan, DDIM) serve v-trained models
+    through a one-fma wrapper around ``apply_fn``."""
+    bshape = (-1,) + (1,) * (x_t.ndim - 1)
+    sa = schedule.sqrt_alphas_cumprod[t].reshape(bshape).astype(x_t.dtype)
+    sb = schedule.sqrt_one_minus_alphas_cumprod[t].reshape(bshape).astype(x_t.dtype)
+    return sa * v + sb * x_t

@@ -51,6 +51,46 @@ class DiffusionSchedule:
             num_timesteps=num_timesteps,
         )
 
+    @classmethod
+    def cosine(
+        cls,
+        num_timesteps: int = 1000,
+        s: float = 0.008,
+        max_beta: float = 0.999,
+        dtype: Any = jnp.float32,
+    ) -> "DiffusionSchedule":
+        """Cosine ᾱ schedule (Nichol & Dhariwal 2021, eq. 17) — no reference
+        counterpart (the reference is linear-only); a framework option.
+
+        ᾱ_t = f(t)/f(0) with f(t) = cos²(((t/T + s)/(1 + s)) · π/2);
+        β_t = 1 - ᾱ_t/ᾱ_{t-1}, clipped to ``max_beta`` to avoid singularities
+        at the end of the chain. Tables are rebuilt from the clipped betas so
+        ``betas``/``alphas``/``alphas_cumprod`` stay mutually consistent —
+        every consumer (q_sample, DDPM/DDIM samplers, trainers) reads only
+        these three tables, so the schedule drops in everywhere.
+        """
+        steps = jnp.arange(num_timesteps + 1, dtype=jnp.float32)
+        f = jnp.cos(((steps / num_timesteps + s) / (1.0 + s)) * jnp.pi / 2) ** 2
+        abar = f / f[0]
+        betas = jnp.clip(1.0 - abar[1:] / abar[:-1], 0.0, max_beta).astype(dtype)
+        alphas = 1.0 - betas
+        alphas_cumprod = jnp.cumprod(alphas)
+        return cls(
+            betas=betas,
+            alphas=alphas,
+            alphas_cumprod=alphas_cumprod,
+            num_timesteps=num_timesteps,
+        )
+
+    @classmethod
+    def make(cls, name: str, num_timesteps: int = 1000, **kw) -> "DiffusionSchedule":
+        """Build a schedule by name: 'linear' (reference-faithful) | 'cosine'."""
+        if name == "linear":
+            return cls.linear(num_timesteps, **kw)
+        if name == "cosine":
+            return cls.cosine(num_timesteps, **kw)
+        raise ValueError(f"unknown schedule {name!r}; use 'linear' or 'cosine'")
+
     # Derived tables used by q_sample and the reverse update. Computed lazily
     # (they are cheap elementwise ops XLA folds into the consumer program).
     @property

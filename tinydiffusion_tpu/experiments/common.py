@@ -39,6 +39,7 @@ def make_sampler(
     eta: float = 0.0,
     guidance_scale: float = 1.0,
     null_label: Optional[int] = None,
+    prediction: str = "eps",
 ):
     """Jitted end-to-end sampler: the entire reverse chain is one compiled
     program (vs the reference's 1000 host-driven forwards,
@@ -60,9 +61,16 @@ def make_sampler(
     s * (eps_cond - eps_null)``. The two predictions come from ONE model
     forward at doubled batch (conditioning rows stacked), so each chain step
     stays a single MXU-friendly program — eval-mode BN makes the doubled
-    batch semantics-exact."""
+    batch semantics-exact.
+
+    ``prediction='v'`` serves v-trained checkpoints (trainer
+    ``prediction='v'``): the model output is converted back to eps at the
+    call site (``core.process.eps_from_v``, one fma) so both samplers and
+    guidance work unchanged."""
     if method not in ("ddpm", "ddim"):
         raise ValueError(f"unknown sampler method {method!r}; use 'ddpm' or 'ddim'")
+    if prediction not in ("eps", "v"):
+        raise ValueError(f"unknown prediction {prediction!r}; use 'eps' or 'v'")
     guided = conditional and guidance_scale != 1.0
     if guided and null_label is None:
         raise ValueError(
@@ -74,17 +82,25 @@ def make_sampler(
     def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
         shape = sample_shape if n is None else (n,) + sample_shape[1:]
 
+        def to_eps(out, x, t_vec):
+            if prediction == "v":
+                from tinydiffusion_tpu.core.process import eps_from_v
+
+                return eps_from_v(schedule, x, out, t_vec)
+            return out
+
         def apply_fn(x, t_vec):
             variables = {"params": params, "batch_stats": batch_stats}
             if guided:
                 x2 = jnp.concatenate([x, x])
                 t2 = jnp.concatenate([t_vec, t_vec])
                 y2 = jnp.concatenate([y, jnp.full_like(y, null_label)])
-                eps2 = model.apply(variables, x2, t2, y2, train=False)
-                eps_c, eps_n = jnp.split(eps2, 2)
+                out2 = model.apply(variables, x2, t2, y2, train=False)
+                eps_c, eps_n = jnp.split(to_eps(out2, x2, t2), 2)
                 return eps_n + guidance_scale * (eps_c - eps_n)
             args = (x, t_vec, y) if conditional else (x, t_vec)
-            return model.apply(variables, *args, train=False)
+            out = model.apply(variables, *args, train=False)
+            return to_eps(out, x, t_vec)
 
         if method == "ddim":
             return ddim_sample(
@@ -118,6 +134,7 @@ def make_trajectory_sampler(
     stride: int = 100,
     conditional: bool = False,
     dtype=jnp.float32,
+    prediction: str = "eps",
 ):
     """Jitted coarse denoising-trajectory sampler
     (visualize_denoising_process parity, diffusion.py:321-348)."""
@@ -127,7 +144,12 @@ def make_trajectory_sampler(
         def apply_fn(x, t_vec):
             variables = {"params": params, "batch_stats": batch_stats}
             args = (x, t_vec, y) if conditional else (x, t_vec)
-            return model.apply(variables, *args, train=False)
+            out = model.apply(variables, *args, train=False)
+            if prediction == "v":
+                from tinydiffusion_tpu.core.process import eps_from_v
+
+                return eps_from_v(schedule, x, out, t_vec)
+            return out
 
         return ddpm_denoising_trajectory(
             apply_fn, schedule, sample_shape, key, stride=stride, dtype=dtype

@@ -88,6 +88,12 @@ class ConditionalDiffusionConfig:
     # per chain step. generate.py exposes --guidance-scale for serving.
     label_dropout: float = 0.0
     guidance_scale: float = 1.0
+    # Noise schedule: 'linear' (reference-faithful) or 'cosine'
+    # (Nichol & Dhariwal 2021; no reference counterpart).
+    noise_schedule: str = "linear"
+    # Training target: 'eps' (reference-faithful) or 'v' (Salimans & Ho
+    # 2022 v-prediction; samplers convert back to eps).
+    prediction: str = "eps"
 
 
 def run(config: ConditionalDiffusionConfig) -> dict:
@@ -107,7 +113,7 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     val_it = BatchIterator([xv, yv], config.batch_size, shuffle=False,
                            u8_normalize=u8, device_normalize=True)
 
-    schedule = DiffusionSchedule.linear(config.num_timesteps)
+    schedule = DiffusionSchedule.make(config.noise_schedule, config.num_timesteps)
     use_cfg = config.label_dropout > 0
     # CFG reserves one extra embedding row (index num_classes) as the null
     # class trained by label dropout.
@@ -138,7 +144,8 @@ def run(config: ConditionalDiffusionConfig) -> dict:
     train_step = make_train_step(model, tx, schedule, conditional=True,
                                  mesh=mesh, ema_decay=ema_decay,
                                  label_dropout=config.label_dropout,
-                                 null_label=config.num_classes)
+                                 null_label=config.num_classes,
+                                 prediction=config.prediction)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
         from tinydiffusion_tpu.parallel.mesh import replicated_sharding
@@ -152,7 +159,7 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         resident_step = make_resident_multi_step(
             model, tx, schedule, device_data, conditional=True, mesh=mesh,
             ema_decay=ema_decay, label_dropout=config.label_dropout,
-            null_label=config.num_classes,
+            null_label=config.num_classes, prediction=config.prediction,
         )
         # Pin the (tiny) val split too: the whole val pass becomes one
         # dispatch per epoch with the host loop's exact fold_in key cadence
@@ -167,18 +174,21 @@ def run(config: ConditionalDiffusionConfig) -> dict:
             u8_normalize=u8,
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
-        _eval = raw_eval_fn(model, schedule, conditional=True)
+        _eval = raw_eval_fn(model, schedule, conditional=True,
+                            prediction=config.prediction)
         resident_eval = make_resident_eval(
             lambda ctx, batch, key: _eval(ctx[0], ctx[1], batch[0], key,
                                           batch[1]),
             device_val, jax.random.PRNGKey(config.seed + 1), mesh=mesh,
         )
-    eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh)
+    eval_step = make_eval_step(model, schedule, conditional=True, mesh=mesh,
+                               prediction=config.prediction)
     sampler = make_sampler(
         model, schedule, (config.n_samples, 28, 28, 1), conditional=True,
         dtype=resolve_dtype(config.sample_dtype),
         guidance_scale=config.guidance_scale,
         null_label=config.num_classes if use_cfg else None,
+        prediction=config.prediction,
     )
 
     logger = MetricsLogger(
@@ -314,6 +324,7 @@ def run(config: ConditionalDiffusionConfig) -> dict:
         traj_fn = make_trajectory_sampler(
             model, schedule, (4, 28, 28, 1), stride=config.denoising_stride,
             conditional=True, dtype=resolve_dtype(config.sample_dtype),
+            prediction=config.prediction,
         )
         rng, t_rng, ty_rng = jax.random.split(rng, 3)
         y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)

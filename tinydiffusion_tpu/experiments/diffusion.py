@@ -77,6 +77,12 @@ class DiffusionConfig:
     # under a DP mesh (replicated pin + sharded index gather); batch
     # composition replays the host stream exactly.
     data_placement: str = "auto"
+    # Noise schedule: 'linear' (reference-faithful betas) or 'cosine'
+    # (Nichol & Dhariwal 2021; no reference counterpart).
+    noise_schedule: str = "linear"
+    # Training target: 'eps' (reference-faithful noise prediction) or 'v'
+    # (Salimans & Ho 2022 v-prediction; samplers convert back to eps).
+    prediction: str = "eps"
     # EMA decay for a shadow copy of the params, updated inside the jitted
     # step and used for sampling/checkpointing when set (standard production
     # DDPM practice, e.g. 0.999; the reference has no EMA). 0 = off
@@ -97,8 +103,12 @@ def run(config: DiffusionConfig) -> dict:
         u8_normalize=(MNIST_SCALE, MNIST_SHIFT), device_normalize=True,
     )
 
-    schedule = DiffusionSchedule.linear(
-        config.num_timesteps, config.beta_start, config.beta_end
+    schedule = (
+        DiffusionSchedule.linear(
+            config.num_timesteps, config.beta_start, config.beta_end
+        )
+        if config.noise_schedule == "linear"
+        else DiffusionSchedule.make(config.noise_schedule, config.num_timesteps)
     )
     model = UNet28(time_dim=config.time_dim, dtype=dtype)
     tx = optax.adam(config.lr)
@@ -132,7 +142,7 @@ def run(config: DiffusionConfig) -> dict:
         )
     train_step = make_train_step(
         model, tx, schedule, mesh=mesh, fused_qsample=config.fused_qsample,
-        ema_decay=ema_decay,
+        ema_decay=ema_decay, prediction=config.prediction,
     )
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
@@ -145,11 +155,13 @@ def run(config: DiffusionConfig) -> dict:
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
         resident_step = make_resident_multi_step(
-            model, tx, schedule, device_data, mesh=mesh, ema_decay=ema_decay
+            model, tx, schedule, device_data, mesh=mesh, ema_decay=ema_decay,
+            prediction=config.prediction,
         )
     sample_dtype = resolve_dtype(config.sample_dtype)
     sampler = make_sampler(
-        model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype
+        model, schedule, (config.n_samples, 28, 28, 1), dtype=sample_dtype,
+        prediction=config.prediction,
     )
 
     logger = MetricsLogger("diffusion", config.out_dir, dataclasses.asdict(config))
@@ -238,7 +250,7 @@ def run(config: DiffusionConfig) -> dict:
 
         traj_fn = make_trajectory_sampler(
             model, schedule, (4, 28, 28, 1), stride=config.denoising_stride,
-            dtype=sample_dtype,
+            dtype=sample_dtype, prediction=config.prediction,
         )
         rng, t_rng = jax.random.split(rng)
         trajectory = np.asarray(

@@ -107,6 +107,7 @@ def _raw_step_fn(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """The unjitted per-batch train step shared by ``make_train_step``
     (jit of one batch) and ``make_multi_step`` (lax.scan over K batches).
@@ -123,6 +124,8 @@ def _raw_step_fn(
         raise ValueError(
             "label_dropout requires conditional=True and a null_label"
         )
+    if prediction not in ("eps", "v"):
+        raise ValueError(f"unknown prediction {prediction!r}; use 'eps' or 'v'")
 
     def step_fn(state: DiffusionTrainState, x0: jnp.ndarray, y=None):
         if label_dropout > 0:
@@ -152,7 +155,15 @@ def _raw_step_fn(
                 variables, *args, train=True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key},
             )
-            loss = jnp.mean((out - noise) ** 2)
+            if prediction == "v":
+                # v-prediction target (Salimans & Ho 2022); samplers convert
+                # the model output back to eps via core.process.eps_from_v.
+                from tinydiffusion_tpu.core.process import v_from_eps
+
+                target = v_from_eps(schedule, x0, noise, t)
+            else:
+                target = noise
+            loss = jnp.mean((out - target) ** 2)
             return loss, mutated.get("batch_stats", {})
 
         (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -184,6 +195,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -224,6 +236,7 @@ def make_train_step(
     step_fn = _raw_step_fn(
         model, tx, schedule, conditional, fused_qsample, ema_decay=ema_decay,
         label_dropout=label_dropout, null_label=null_label,
+        prediction=prediction,
     )
 
     if mesh is None:
@@ -253,6 +266,7 @@ def make_multi_step(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """K train steps per dispatch: ``step(state, x0s[, ys]) -> (state, losses)``.
 
@@ -268,7 +282,8 @@ def make_multi_step(
     batches; the returned (K,) losses keep per-batch logging exact.
     """
     single = _raw_step_fn(model, tx, schedule, conditional, ema_decay=ema_decay,
-                          label_dropout=label_dropout, null_label=null_label)
+                          label_dropout=label_dropout, null_label=null_label,
+                          prediction=prediction)
 
     def step_fn(state: DiffusionTrainState, x0s: jnp.ndarray, ys=None):
         if conditional:
@@ -357,6 +372,7 @@ def make_resident_multi_step(
     ema_decay: Optional[float] = None,
     label_dropout: float = 0.0,
     null_label: Optional[int] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """Train over an HBM-resident dataset: ``step(state, idxs) -> (state,
     losses)`` where ``idxs`` is (K, B) int32 from
@@ -380,7 +396,8 @@ def make_resident_multi_step(
     with the 1.9 GB LAION-256 set; data/device.py gather_arrays docstring).
     """
     single = _raw_step_fn(model, tx, schedule, conditional, ema_decay=ema_decay,
-                          label_dropout=label_dropout, null_label=null_label)
+                          label_dropout=label_dropout, null_label=null_label,
+                          prediction=prediction)
 
     def step_fn(arrays, state: DiffusionTrainState, idxs: jnp.ndarray):
         def body(s, idx):
@@ -455,7 +472,15 @@ def _raw_latent_step_fn(vae_model, model, tx, schedule,
                 variables, z_t, t, y, train=True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key},
             )
-            loss = jnp.mean((out - noise) ** 2)
+            if prediction == "v":
+                # v-prediction target (Salimans & Ho 2022); samplers convert
+                # the model output back to eps via core.process.eps_from_v.
+                from tinydiffusion_tpu.core.process import v_from_eps
+
+                target = v_from_eps(schedule, x0, noise, t)
+            else:
+                target = noise
+            loss = jnp.mean((out - target) ** 2)
             return loss, mutated.get("batch_stats", {})
 
         (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -547,9 +572,10 @@ def make_latent_eval_step(
 
 
 def raw_eval_fn(model, schedule: DiffusionSchedule,
-                conditional: bool = False) -> Callable:
+                conditional: bool = False, prediction: str = "eps") -> Callable:
     """``(params, batch_stats, x0, key[, y]) -> scalar`` val loss — the
-    shared math behind make_eval_step and the resident eval bodies."""
+    shared math behind make_eval_step and the resident eval bodies.
+    ``prediction`` must match the training target ('eps' | 'v')."""
 
     def step_fn(params, batch_stats, x0, key, y=None):
         t_key, noise_key = jax.random.split(key)
@@ -559,7 +585,13 @@ def raw_eval_fn(model, schedule: DiffusionSchedule,
         variables = {"params": params, "batch_stats": batch_stats}
         args = (x_t, t, y) if conditional else (x_t, t)
         out = model.apply(variables, *args, train=False)
-        return jnp.mean((out - noise) ** 2)
+        if prediction == "v":
+            from tinydiffusion_tpu.core.process import v_from_eps
+
+            target = v_from_eps(schedule, x0, noise, t)
+        else:
+            target = noise
+        return jnp.mean((out - target) ** 2)
 
     return step_fn
 
@@ -569,6 +601,7 @@ def make_eval_step(
     schedule: DiffusionSchedule,
     conditional: bool = False,
     mesh: Optional[Mesh] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """Jitted validation-loss step (eval-mode BN, no grads).
 
@@ -576,7 +609,7 @@ def make_eval_step(
     Takes an explicit key so validation is deterministic per epoch.
     """
 
-    step_fn = raw_eval_fn(model, schedule, conditional)
+    step_fn = raw_eval_fn(model, schedule, conditional, prediction=prediction)
 
     if mesh is None:
         return jax.jit(step_fn)
