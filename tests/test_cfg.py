@@ -311,3 +311,17 @@ def test_laion_experiment_cfg_smoke(tmp_path):
     assert os.path.exists(tmp_path / "out" / "samples_epoch_0.png")
     state = result["state"]
     assert state.ema_params is not None
+
+    # Standalone text-to-image serving from the checkpoint: restores the
+    # EMA shadow, persisted codec basis, and text encoder from the sidecar;
+    # guided DDIM from arbitrary prompts.
+    import generate_laion
+
+    out = str(tmp_path / "served.png")
+    generate_laion.main([
+        "--checkpoint", str(tmp_path / "ckpt" / "best"),
+        "--prompt", "a photo of a red cat", "--prompt", "a photo of a dog",
+        "--sampler", "ddim", "--sample-steps", "5",
+        "--guidance-scale", "2.0", "--out", out,
+    ])
+    assert os.path.exists(out)

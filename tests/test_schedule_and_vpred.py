@@ -218,3 +218,33 @@ def test_diffusion_experiment_cosine_vpred_smoke(tmp_path):
         "--sampler", "ddim", "--sample-steps", "5",
     ])
     assert os.path.exists(out)
+
+
+def test_latent_v_prediction_step():
+    """prediction='v' in the latent trainer scores against the LATENT
+    z0-based v target (regression: an early draft mistakenly used the pixel
+    x0, whose shape doesn't even match): loss finite and != the eps loss."""
+    from tinydiffusion_tpu.models.vae_mnist import VAEMnist
+    from tinydiffusion_tpu.train.trainer import make_latent_train_step
+
+    sch = DiffusionSchedule.linear(50)
+    vae = VAEMnist()
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 28, 28, 1)), jax.random.PRNGKey(1)
+    )["params"]
+    model = MLPUNetLatent(latent_dim=20)
+    tx = optax.sgd(1e-2)
+    y = jnp.zeros((B,), jnp.int32)
+    example = (jnp.zeros((B, 20), jnp.float32), y, y)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.standard_normal((B, 28, 28, 1)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 10, (B,)), jnp.int32)
+
+    losses = {}
+    for pred in ("eps", "v"):
+        state = create_train_state(model, tx, example, jax.random.PRNGKey(0))
+        step = make_latent_train_step(vae, model, tx, sch, prediction=pred)
+        _, loss = step(state, vae_params, x0, ys)
+        losses[pred] = float(loss)
+        assert np.isfinite(losses[pred])
+    assert abs(losses["v"] - losses["eps"]) > 1e-6

@@ -37,7 +37,7 @@ import optax
 
 from tinydiffusion_tpu.compat.latent_codec import get_latent_codec
 from tinydiffusion_tpu.compat.text_encoder import get_text_encoder
-from tinydiffusion_tpu.core.sampler import ddpm_sample
+from tinydiffusion_tpu.core.sampler import ddim_sample, ddpm_sample
 from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 from tinydiffusion_tpu.data.laion import (
     LAIONImageTextDataset,
@@ -316,14 +316,21 @@ def make_laion_eval_step(model, schedule, codec, mesh=None):
 
 def make_laion_sampler(model, schedule, codec, n_samples, latent_size,
                        latent_channels, dtype, guidance_scale: float = 1.0,
-                       null_embed=None):
+                       null_embed=None, method: str = "ddpm",
+                       sample_steps: int = 50, eta: float = 0.0):
     """1000-step chain + decode + (x/2+0.5).clamp + NaN/Inf scrub, one
     program (conditional_diffusion_laion.py:560-599).
 
     ``guidance_scale`` != 1 (models trained with ``caption_dropout``;
     requires ``null_embed``, the empty-string embedding) samples with
     classifier-free guidance: ``eps = eps_null + s*(eps_text - eps_null)``,
-    both predictions from ONE doubled-batch forward per chain step."""
+    both predictions from ONE doubled-batch forward per chain step.
+
+    ``method='ddim'`` is the accelerated serving path (``sample_steps``
+    model forwards instead of T; deterministic at ``eta=0``) — same
+    checkpoint, no retraining (core/sampler.ddim_sample)."""
+    if method not in ("ddpm", "ddim"):
+        raise ValueError(f"unknown sampler method {method!r}; use 'ddpm' or 'ddim'")
     guided = guidance_scale != 1.0
     if guided and null_embed is None:
         raise ValueError(
@@ -350,10 +357,12 @@ def make_laion_sampler(model, schedule, codec, n_samples, latent_size,
                 return eps_n + guidance_scale * (eps_t - eps_n)
             return model.apply(variables, x, t_vec, text_embeds, train=False)
 
-        latents = ddpm_sample(
-            apply_fn, schedule,
-            (n_samples, latent_size, latent_size, latent_channels), key, dtype=dtype,
-        )
+        shape = (n_samples, latent_size, latent_size, latent_channels)
+        if method == "ddim":
+            latents = ddim_sample(apply_fn, schedule, shape, key,
+                                  num_steps=sample_steps, eta=eta, dtype=dtype)
+        else:
+            latents = ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype)
         decoded = codec.decode(latents.astype(jnp.float32))
         images = jnp.clip(decoded / 2 + 0.5, 0.0, 1.0)
         images = jnp.where(jnp.isfinite(images), images, jnp.zeros_like(images))

@@ -89,6 +89,11 @@ class LatentDiffusionConfig:
     # EMA shadow of the params, updated in the jitted step and preferred for
     # sampling when set (e.g. 0.999). 0 = off (reference-faithful).
     ema_decay: float = 0.0
+    # Noise schedule: 'linear' (reference-faithful) or 'cosine'.
+    noise_schedule: str = "linear"
+    # Training target: 'eps' (reference-faithful) or 'v' (Salimans & Ho
+    # 2022; samplers convert back to eps over the latent chain).
+    prediction: str = "eps"
 
 
 def steps_per_epoch_from_split(
@@ -153,7 +158,8 @@ def build_denoiser(config: LatentDiffusionConfig, latent_dim: int, dtype):
 
 
 def make_latent_trajectory_sampler(
-    vae_model, model, schedule, n_samples, latent_dim, stride, dtype
+    vae_model, model, schedule, n_samples, latent_dim, stride, dtype,
+    prediction: str = "eps",
 ):
     """Coarse strided latent trajectory with per-step decode
     (latent_diffusion.py:378-415: the reference decodes every intermediate)."""
@@ -162,10 +168,15 @@ def make_latent_trajectory_sampler(
     @jax.jit
     def traj_fn(params, batch_stats, vae_params, key, y):
         def apply_fn(z, t_vec):
-            return model.apply(
+            out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, z, t_vec, y,
                 train=False,
             )
+            if prediction == "v":
+                from tinydiffusion_tpu.core.process import eps_from_v
+
+                return eps_from_v(schedule, z, out, t_vec)
+            return out
 
         traj = ddpm_denoising_trajectory(
             apply_fn, schedule, (n_samples, latent_dim), key, stride=stride,
@@ -181,17 +192,23 @@ def make_latent_trajectory_sampler(
     return traj_fn
 
 
-def make_latent_sampler(vae_model, model, schedule, n_samples, latent_dim, dtype):
+def make_latent_sampler(vae_model, model, schedule, n_samples, latent_dim,
+                        dtype, prediction: str = "eps"):
     """Latent reverse chain + decode tail, one jitted program
     (latent_diffusion.py:308-347)."""
 
     @jax.jit
     def sample_fn(params, batch_stats, vae_params, key, y):
         def apply_fn(z, t_vec):
-            return model.apply(
+            out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, z, t_vec, y,
                 train=False,
             )
+            if prediction == "v":
+                from tinydiffusion_tpu.core.process import eps_from_v
+
+                return eps_from_v(schedule, z, out, t_vec)
+            return out
 
         z = ddpm_sample(apply_fn, schedule, (n_samples, latent_dim), key, dtype=dtype)
         x = vae_model.apply({"params": vae_params}, z, method=VAEMnist.decode)
@@ -206,7 +223,7 @@ def run(config: LatentDiffusionConfig) -> dict:
 
     vae_model, vae_params, latent_dim = load_vae(config)
     model = build_denoiser(config, latent_dim, dtype)
-    schedule = DiffusionSchedule.linear(config.num_timesteps)
+    schedule = DiffusionSchedule.make(config.noise_schedule, config.num_timesteps)
 
     # uint8 storage + device-side normalize via the prefetch worker.
     images_u8, labels = load_mnist_u8(config.data_root, train=True)
@@ -262,7 +279,8 @@ def run(config: LatentDiffusionConfig) -> dict:
         mesh, "latent",
     )
     train_step = make_latent_train_step(vae_model, model, tx, schedule,
-                                        mesh=mesh, ema_decay=ema_decay)
+                                        mesh=mesh, ema_decay=ema_decay,
+                                        prediction=config.prediction)
     if resident:
         from tinydiffusion_tpu.data.device import DeviceDataset
         from tinydiffusion_tpu.parallel.mesh import replicated_sharding
@@ -275,7 +293,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         )
         resident_step = make_resident_latent_multi_step(
             vae_model, model, tx, schedule, device_data, mesh=mesh,
-            ema_decay=ema_decay,
+            ema_decay=ema_decay, prediction=config.prediction,
         )
         # Pinned val split: one dispatch per epoch, host key cadence
         # replayed exactly (VERDICT r2 weak #8).
@@ -289,17 +307,19 @@ def run(config: LatentDiffusionConfig) -> dict:
             u8_normalize=u8,
             sharding=replicated_sharding(mesh) if mesh is not None else None,
         )
-        _eval = raw_latent_eval_fn(vae_model, model, schedule)
+        _eval = raw_latent_eval_fn(vae_model, model, schedule,
+                                   prediction=config.prediction)
         resident_eval = make_resident_eval(
             lambda ctx, batch, key: _eval(ctx[0], ctx[1], ctx[2], batch[0],
                                           key, batch[1]),
             device_val, jax.random.PRNGKey(config.seed + 11), mesh=mesh,
         )
-    eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh)
+    eval_step = make_latent_eval_step(vae_model, model, schedule, mesh=mesh,
+                                      prediction=config.prediction)
     batch_sh = batch_sharding(mesh) if mesh is not None else None
     sampler = make_latent_sampler(
         vae_model, model, schedule, config.n_samples, latent_dim,
-        resolve_dtype(config.sample_dtype),
+        resolve_dtype(config.sample_dtype), prediction=config.prediction,
     )
 
     project = (
@@ -414,6 +434,7 @@ def run(config: LatentDiffusionConfig) -> dict:
         traj_fn = make_latent_trajectory_sampler(
             vae_model, model, schedule, 4, latent_dim,
             config.denoising_stride, resolve_dtype(config.sample_dtype),
+            prediction=config.prediction,
         )
         rng, t_rng, ty_rng = jax.random.split(rng, 3)
         y_traj = jax.random.randint(ty_rng, (4,), 0, config.num_classes)

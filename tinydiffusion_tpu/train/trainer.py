@@ -417,6 +417,7 @@ def make_latent_train_step(
     schedule: DiffusionSchedule,
     mesh: Optional[Mesh] = None,
     ema_decay: Optional[float] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """Train step for latent diffusion (latent_diffusion.py:201-224 skeleton).
 
@@ -429,7 +430,7 @@ def make_latent_train_step(
     Returns ``step(state, vae_params, x0, y) -> (state, loss)``.
     """
     step_fn = _raw_latent_step_fn(vae_model, model, tx, schedule,
-                                  ema_decay=ema_decay)
+                                  ema_decay=ema_decay, prediction=prediction)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -444,9 +445,12 @@ def make_latent_train_step(
 
 
 def _raw_latent_step_fn(vae_model, model, tx, schedule,
-                        ema_decay: Optional[float] = None) -> Callable:
+                        ema_decay: Optional[float] = None,
+                        prediction: str = "eps") -> Callable:
     """Unjitted latent-diffusion per-batch step (frozen-VAE encode folded
     in) — shared by ``make_latent_train_step`` and the resident variant."""
+    if prediction not in ("eps", "v"):
+        raise ValueError(f"unknown prediction {prediction!r}; use 'eps' or 'v'")
 
     def step_fn(state: DiffusionTrainState, vae_params, x0: jnp.ndarray, y):
         rng, z_key, t_key, noise_key, drop_key = jax.random.split(state.rng, 5)
@@ -473,11 +477,11 @@ def _raw_latent_step_fn(vae_model, model, tx, schedule,
                 rngs={"dropout": drop_key},
             )
             if prediction == "v":
-                # v-prediction target (Salimans & Ho 2022); samplers convert
-                # the model output back to eps via core.process.eps_from_v.
+                # v target over the LATENT x_0 (z0) — the diffusion runs in
+                # latent space (Salimans & Ho 2022).
                 from tinydiffusion_tpu.core.process import v_from_eps
 
-                target = v_from_eps(schedule, x0, noise, t)
+                target = v_from_eps(schedule, z0, noise, t)
             else:
                 target = noise
             loss = jnp.mean((out - target) ** 2)
@@ -503,7 +507,7 @@ def _raw_latent_step_fn(vae_model, model, tx, schedule,
 
 def make_resident_latent_multi_step(
     vae_model, model, tx, schedule, dataset, mesh: Optional[Mesh] = None,
-    ema_decay: Optional[float] = None,
+    ema_decay: Optional[float] = None, prediction: str = "eps",
 ):
     """HBM-resident latent-diffusion training: ``step(state, vae_params,
     idxs) -> (state, losses)`` with ``idxs`` (K, B) int32 from
@@ -513,7 +517,7 @@ def make_resident_latent_multi_step(
     VAE params ride replicated and the index batches shard over ``data``
     (see ``resident_jit``)."""
     single = _raw_latent_step_fn(vae_model, model, tx, schedule,
-                                 ema_decay=ema_decay)
+                                 ema_decay=ema_decay, prediction=prediction)
 
     def step_fn(arrays, state: DiffusionTrainState, vae_params, idxs):
         def body(s, idx):
@@ -527,9 +531,11 @@ def make_resident_latent_multi_step(
 
 
 def raw_latent_eval_fn(vae_model, model,
-                       schedule: DiffusionSchedule) -> Callable:
+                       schedule: DiffusionSchedule,
+                       prediction: str = "eps") -> Callable:
     """``(params, batch_stats, vae_params, x0, key, y) -> scalar`` latent
-    val loss — shared by make_latent_eval_step and resident eval bodies."""
+    val loss — shared by make_latent_eval_step and resident eval bodies.
+    ``prediction`` must match the training target ('eps' | 'v')."""
 
     def step_fn(params, batch_stats, vae_params, x0, key, y):
         z_key, t_key, noise_key = jax.random.split(key, 3)
@@ -545,7 +551,13 @@ def raw_latent_eval_fn(vae_model, model,
         z_t, noise = q_sample(schedule, z0, t, noise_key)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           z_t, t, y, train=False)
-        return jnp.mean((out - noise) ** 2)
+        if prediction == "v":
+            from tinydiffusion_tpu.core.process import v_from_eps
+
+            target = v_from_eps(schedule, z0, noise, t)
+        else:
+            target = noise
+        return jnp.mean((out - target) ** 2)
 
     return step_fn
 
@@ -555,10 +567,12 @@ def make_latent_eval_step(
     model,
     schedule: DiffusionSchedule,
     mesh: Optional[Mesh] = None,
+    prediction: str = "eps",
 ) -> Callable:
     """Validation step for latent diffusion (latent_diffusion.py:231-249)."""
 
-    step_fn = raw_latent_eval_fn(vae_model, model, schedule)
+    step_fn = raw_latent_eval_fn(vae_model, model, schedule,
+                                 prediction=prediction)
 
     if mesh is None:
         return jax.jit(step_fn)
