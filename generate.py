@@ -41,10 +41,21 @@ def main(argv=None):
     parser.add_argument("--guidance-scale", type=float, default=1.0,
                         help="classifier-free guidance scale (checkpoints "
                              "trained with --label-dropout only; 1 = off)")
+    parser.add_argument("--init-image", default=None,
+                        help="img2img: PNG to start from (DDIM only); the "
+                             "chain denoises from --strength of the way up")
+    parser.add_argument("--strength", type=float, default=0.6,
+                        help="img2img noise level in (0, 1]: fraction of "
+                             "the chain re-run (higher = less faithful)")
+    parser.add_argument("--inpaint-image", default=None,
+                        help="inpainting: PNG with the known content")
+    parser.add_argument("--inpaint-mask", default=None,
+                        help="inpainting: PNG mask (white = keep known)")
     args = parser.parse_args(argv)
 
     import optax
 
+    from tinydiffusion_tpu.core.process import q_sample_with_noise
     from tinydiffusion_tpu.core.schedule import DiffusionSchedule
     from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
     from tinydiffusion_tpu.io.checkpoint import load_sidecar, restore_checkpoint
@@ -86,6 +97,25 @@ def main(argv=None):
     print(f"loaded {args.checkpoint} (step {int(state.step)}"
           + (", sampling from EMA params)" if use_ema else ")"))
 
+    def load_image28(path):
+        from PIL import Image
+
+        img = Image.open(path).convert("L").resize((28, 28))
+        return (np.asarray(img, np.float32) / 255.0 * 2 - 1).reshape(28, 28, 1)
+
+    t_start = mask = x_known = None
+    if args.init_image:
+        if args.sampler != "ddim":
+            parser.error("--init-image (img2img) requires --sampler ddim")
+        if not 0.0 < args.strength <= 1.0:
+            parser.error("--strength must be in (0, 1]")
+        t_start = max(int(round(args.strength * (T - 1))), 1)
+    if (args.inpaint_image is None) != (args.inpaint_mask is None):
+        parser.error("inpainting needs BOTH --inpaint-image and --inpaint-mask")
+    if args.inpaint_image:
+        x_known = load_image28(args.inpaint_image)
+        mask = (load_image28(args.inpaint_mask) >= 0.0).astype(np.float32)
+
     # The schedule and training target come from the sidecar: a checkpoint
     # trained with --noise-schedule cosine or --prediction v must be served
     # with matching sampler math.
@@ -97,8 +127,20 @@ def main(argv=None):
         guidance_scale=args.guidance_scale,
         null_label=num_classes if cfg_trained else None,
         prediction=cfg.get("prediction", "eps"),
+        t_start=t_start, mask=mask, x_known=x_known,
     )
     key = jax.random.PRNGKey(args.seed)
+    x_init = None
+    if args.init_image:
+        x0 = jnp.broadcast_to(
+            jnp.asarray(load_image28(args.init_image)), (args.n, 28, 28, 1)
+        )
+        key, noise_key = jax.random.split(key)
+        noise = jax.random.normal(noise_key, x0.shape)
+        t_vec = jnp.full((args.n,), t_start, jnp.int32)
+        x_init = q_sample_with_noise(schedule, x0, t_vec, noise)
+        print(f"img2img from {args.init_image} at t_start={t_start} "
+              f"(strength {args.strength})")
     labels = None
     if conditional:
         if args.digit is not None:
@@ -107,9 +149,9 @@ def main(argv=None):
             key, y_key = jax.random.split(key)
             y = jax.random.randint(y_key, (args.n,), 0, num_classes)
         labels = np.asarray(y)
-        samples = sampler(params, state.batch_stats, key, y=y)
+        samples = sampler(params, state.batch_stats, key, y=y, x_init=x_init)
     else:
-        samples = sampler(params, state.batch_stats, key)
+        samples = sampler(params, state.batch_stats, key, x_init=x_init)
 
     images = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
     nrow = max(int(np.sqrt(args.n)), 1)

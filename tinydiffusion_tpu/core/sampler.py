@@ -78,8 +78,15 @@ def ddpm_sample(
     dtype=jnp.float32,
     x_init: jnp.ndarray | None = None,
     noise_stream: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    x_known: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling chain as one ``lax.scan``.
+
+    ``mask``/``x_known`` (both or neither) enable inpainting: after every
+    reverse step the known region (mask == 1) is re-composited at the new
+    timestep's noise level, and with plain ``x_known`` into the final
+    output (see ddim_sample; not supported with ``noise_stream``).
 
     Args:
       apply_fn: denoiser, ``(x, t_vec) -> eps_hat``.
@@ -96,12 +103,19 @@ def ddpm_sample(
     Returns:
       x_0 samples of ``shape``.
     """
+    if (mask is None) != (x_known is None):
+        raise ValueError("inpainting needs BOTH mask and x_known")
+    if mask is not None and noise_stream is not None:
+        raise ValueError("inpainting is not supported with noise_stream")
     key, init_key = jax.random.split(key)
     x = (
         x_init.astype(dtype)
         if x_init is not None
         else jax.random.normal(init_key, shape, dtype=dtype)
     )
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype)
+        x_known = jnp.asarray(x_known, dtype)
 
     timesteps = jnp.arange(schedule.num_timesteps - 1, -1, -1, dtype=jnp.int32)
 
@@ -120,23 +134,40 @@ def ddpm_sample(
         x, key = carry
         key, step_key = jax.random.split(key)
         x = _reverse_step(schedule, apply_fn, x, t, step_key)
+        if mask is not None:
+            key, known_key = jax.random.split(key)
+            abar_prev = jnp.where(
+                t > 0, schedule.alphas_cumprod[jnp.maximum(t - 1, 0)], 1.0
+            )
+            zk = jax.random.normal(known_key, x.shape, dtype=x.dtype)
+            known_t = (
+                jnp.sqrt(abar_prev).astype(x.dtype) * x_known
+                + jnp.sqrt(1.0 - abar_prev).astype(x.dtype) * zk
+            )
+            known_t = jnp.where(t > 0, known_t, x_known)
+            x = mask * known_t + (1.0 - mask) * x
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x, key), timesteps)
     return x
 
 
-def ddim_timesteps(num_timesteps: int, num_steps: int) -> jnp.ndarray:
+def ddim_timesteps(
+    num_timesteps: int, num_steps: int, t_start: int | None = None
+) -> jnp.ndarray:
     """Descending DDIM timestep subsequence.
 
-    Evenly spaced over [0, T-1] (endpoints included) so the chain always
-    starts at the max-noise timestep T-1 and ends by predicting x_0 from
-    t=0, whatever ``num_steps`` is. Returned descending (scan order).
+    Evenly spaced over [0, t_start] (endpoints included; ``t_start``
+    defaults to T-1) so the chain always ends by predicting x_0 from t=0,
+    whatever ``num_steps`` is. A ``t_start`` < T-1 is the img2img partial
+    chain: the caller supplies an x_init noised to exactly that timestep.
+    Returned descending (scan order).
     """
-    num_steps = max(1, min(num_steps, num_timesteps))
-    taus = jnp.round(
-        jnp.linspace(num_timesteps - 1, 0, num_steps)
-    ).astype(jnp.int32)
+    top = num_timesteps - 1 if t_start is None else t_start
+    if not 0 <= top < num_timesteps:
+        raise ValueError(f"t_start {top} outside [0, {num_timesteps - 1}]")
+    num_steps = max(1, min(num_steps, top + 1))
+    taus = jnp.round(jnp.linspace(top, 0, num_steps)).astype(jnp.int32)
     return taus
 
 
@@ -149,9 +180,26 @@ def ddim_sample(
     eta: float = 0.0,
     dtype=jnp.float32,
     x_init: jnp.ndarray | None = None,
+    t_start: int | None = None,
+    mask: jnp.ndarray | None = None,
+    x_known: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """DDIM sampler (Song et al. 2020) over a strided timestep subsequence,
     compiled to a single ``lax.scan`` — the serving fast path.
+
+    Serving modes built on the same chain (no reference counterpart — the
+    reference can only sample from pure noise):
+
+    - **img2img**: pass ``t_start`` (the noise level, < T-1) and an
+      ``x_init`` noised to exactly that timestep
+      (``q_sample(x0, t_start)``); the chain denoises the remaining
+      [0, t_start] stretch, preserving the init image's structure.
+    - **inpainting**: pass ``mask`` (1 = known region, broadcastable to
+      ``shape``) and ``x_known`` (the known image); after every step the
+      known region is re-composited at the new timestep's noise level
+      (``sqrt(abar_s) x_known + sqrt(1-abar_s) z``), and with plain
+      ``x_known`` into the final prediction — so the output equals
+      ``x_known`` exactly where ``mask`` is 1.
 
     The reference has no accelerated sampler: its inference cost is a fixed
     1000 sequential model forwards (diffusion.py:254-276). DDIM shares the
@@ -171,6 +219,8 @@ def ddim_sample(
     one jitted program; ᾱ gathers are table lookups in the scan body; the
     whole chain costs num_steps model forwards with zero host syncs.
     """
+    if (mask is None) != (x_known is None):
+        raise ValueError("inpainting needs BOTH mask and x_known")
     key, init_key = jax.random.split(key)
     x = (
         x_init.astype(dtype)
@@ -178,10 +228,13 @@ def ddim_sample(
         else jax.random.normal(init_key, shape, dtype=dtype)
     )
 
-    taus = ddim_timesteps(schedule.num_timesteps, num_steps)
+    taus = ddim_timesteps(schedule.num_timesteps, num_steps, t_start)
     t_prev = jnp.concatenate([taus[1:], jnp.array([-1], jnp.int32)])
     abar = schedule.alphas_cumprod
     eta = float(eta)
+    if mask is not None:
+        mask = jnp.asarray(mask, dtype)
+        x_known = jnp.asarray(x_known, dtype)
 
     def body(carry, inputs):
         x, key = carry
@@ -218,6 +271,16 @@ def ddim_sample(
             + dir_coeff.astype(x.dtype) * eps_hat
             + sigma.astype(x.dtype) * z
         )
+        if mask is not None:
+            key, known_key = jax.random.split(key)
+            zk = jax.random.normal(known_key, x.shape, dtype=x.dtype)
+            known_t = (
+                jnp.sqrt(abar_s).astype(x.dtype) * x_known
+                + jnp.sqrt(1.0 - abar_s).astype(x.dtype) * zk
+            )
+            # Final prediction (s < 0) composites the clean known image.
+            known_t = jnp.where(s >= 0, known_t, x_known)
+            x = mask * known_t + (1.0 - mask) * x
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x, key), (taus, t_prev))

@@ -40,6 +40,9 @@ def make_sampler(
     guidance_scale: float = 1.0,
     null_label: Optional[int] = None,
     prediction: str = "eps",
+    t_start: Optional[int] = None,
+    mask=None,
+    x_known=None,
 ):
     """Jitted end-to-end sampler: the entire reverse chain is one compiled
     program (vs the reference's 1000 host-driven forwards,
@@ -66,11 +69,18 @@ def make_sampler(
     ``prediction='v'`` serves v-trained checkpoints (trainer
     ``prediction='v'``): the model output is converted back to eps at the
     call site (``core.process.eps_from_v``, one fma) so both samplers and
-    guidance work unchanged."""
+    guidance work unchanged.
+
+    Serving modes (see core/sampler.ddim_sample): ``t_start`` (DDIM only)
+    runs the img2img partial chain — pass the matching noised image as
+    ``x_init`` when calling the sampler; ``mask``/``x_known`` enable
+    inpainting on either method."""
     if method not in ("ddpm", "ddim"):
         raise ValueError(f"unknown sampler method {method!r}; use 'ddpm' or 'ddim'")
     if prediction not in ("eps", "v"):
         raise ValueError(f"unknown prediction {prediction!r}; use 'eps' or 'v'")
+    if t_start is not None and method != "ddim":
+        raise ValueError("t_start (img2img) requires method='ddim'")
     guided = conditional and guidance_scale != 1.0
     if guided and null_label is None:
         raise ValueError(
@@ -79,7 +89,8 @@ def make_sampler(
         )
 
     @partial(jax.jit, static_argnames=("n",))
-    def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
+    def jitted_fn(params, batch_stats, key, y=None, n: Optional[int] = None,
+                  x_init=None):
         shape = sample_shape if n is None else (n,) + sample_shape[1:]
 
         def to_eps(out, x, t_vec):
@@ -106,10 +117,13 @@ def make_sampler(
             return ddim_sample(
                 apply_fn, schedule, shape, key,
                 num_steps=sample_steps, eta=eta, dtype=dtype,
+                x_init=x_init, t_start=t_start, mask=mask, x_known=x_known,
             )
-        return ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype)
+        return ddpm_sample(apply_fn, schedule, shape, key, dtype=dtype,
+                           x_init=x_init, mask=mask, x_known=x_known)
 
-    def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None):
+    def sample_fn(params, batch_stats, key, y=None, n: Optional[int] = None,
+                  x_init=None):
         n_samples = sample_shape[0] if n is None else n
         if conditional:
             if y is None:
@@ -122,7 +136,7 @@ def make_sampler(
                     f"y must have shape ({n_samples},) to match n_samples, "
                     f"got {y.shape}"
                 )
-        return jitted_fn(params, batch_stats, key, y, n)
+        return jitted_fn(params, batch_stats, key, y, n, x_init)
 
     return sample_fn
 
