@@ -53,47 +53,34 @@ def main(argv=None):
                         help="inpainting: PNG mask (white = keep known)")
     args = parser.parse_args(argv)
 
-    import optax
-
     from tinydiffusion_tpu.core.process import q_sample_with_noise
-    from tinydiffusion_tpu.core.schedule import DiffusionSchedule
-    from tinydiffusion_tpu.experiments.common import make_sampler, resolve_dtype
-    from tinydiffusion_tpu.io.checkpoint import load_sidecar, restore_checkpoint
-    from tinydiffusion_tpu.models.unet28 import UNet28
+    from tinydiffusion_tpu.experiments.common import (
+        load_pixel_checkpoint,
+        make_sampler,
+        resolve_dtype,
+    )
     from tinydiffusion_tpu.obs.images import save_image_grid
-    from tinydiffusion_tpu.train.trainer import create_train_state
 
-    sidecar = load_sidecar(args.checkpoint)
-    cfg = sidecar.get("config", {})
-    num_classes = int(cfg["num_classes"]) if "num_classes" in cfg else None
-    conditional = num_classes is not None
-    time_dim = int(cfg.get("time_dim", 256))
-    T = int(cfg.get("num_timesteps", args.num_timesteps))
+    loaded = load_pixel_checkpoint(args.checkpoint)
+    model, state, params = loaded["model"], loaded["state"], loaded["params"]
+    cfg, schedule = loaded["cfg"], loaded["schedule"]
+    conditional, num_classes = loaded["conditional"], loaded["num_classes"]
+    cfg_trained, use_ema = loaded["cfg_trained"], loaded["use_ema"]
+    if "num_timesteps" not in cfg and args.num_timesteps != 1000:
+        # Sidecars always record T; the flag only matters for foreign or
+        # hand-written checkpoints without one.
+        from tinydiffusion_tpu.core.schedule import DiffusionSchedule
 
-    # CFG checkpoints carry one extra (null-class) embedding row, trained by
-    # label dropout; only those can serve a guidance scale != 1.
-    cfg_trained = float(cfg.get("label_dropout", 0.0)) > 0
+        schedule = DiffusionSchedule.make(
+            cfg.get("noise_schedule", "linear"), args.num_timesteps
+        )
+    T = schedule.num_timesteps
+
     if args.guidance_scale != 1.0 and not cfg_trained:
         parser.error(
             "--guidance-scale needs a checkpoint trained with "
             "--label-dropout > 0 (no null-class embedding row here)"
         )
-    n_embed = (num_classes + 1) if (conditional and cfg_trained) else num_classes
-
-    model = UNet28(time_dim=time_dim, num_classes=n_embed, dtype=jnp.bfloat16)
-    batch = int(cfg.get("batch_size", 128))
-    example = [jnp.zeros((batch, 28, 28, 1)), jnp.zeros((batch,), jnp.int32)]
-    if conditional:
-        example.append(jnp.zeros((batch,), jnp.int32))
-    # Checkpoints trained with --ema-decay carry an EMA shadow of the params;
-    # the template must match the saved tree, and serving prefers the shadow.
-    use_ema = float(cfg.get("ema_decay", 0.0)) > 0
-    template = create_train_state(
-        model, optax.adam(1e-3), tuple(example), jax.random.PRNGKey(0),
-        ema=use_ema,
-    )
-    state = restore_checkpoint(args.checkpoint, template)
-    params = state.ema_params if use_ema else state.params
     print(f"loaded {args.checkpoint} (step {int(state.step)}"
           + (", sampling from EMA params)" if use_ema else ")"))
 
@@ -119,7 +106,6 @@ def main(argv=None):
     # The schedule and training target come from the sidecar: a checkpoint
     # trained with --noise-schedule cosine or --prediction v must be served
     # with matching sampler math.
-    schedule = DiffusionSchedule.make(cfg.get("noise_schedule", "linear"), T)
     sampler = make_sampler(
         model, schedule, (args.n, 28, 28, 1), conditional=conditional,
         dtype=resolve_dtype(args.sample_dtype),

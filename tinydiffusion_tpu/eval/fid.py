@@ -1,0 +1,220 @@
+"""FID: Frechet distance between feature-space Gaussians of two image sets.
+
+The reference evaluates sample quality by eye only (per-epoch PNG grids,
+diffusion.py:242-250; README.md:457-463 publishes one epoch-99 grid). This
+module adds the standard quantitative metric (Heusel et al. 2017): fit a
+Gaussian to deep features of real and generated images and report
+
+    FID = |mu_r - mu_g|^2 + tr(S_r + S_g - 2 sqrt(S_r S_g)).
+
+Feature extractor: in a zero-egress environment the canonical InceptionV3
+cannot be downloaded, so features come from ``FeatureNet`` — a small conv
+classifier trained in-repo on the same MNIST set the diffusion models train
+on (the common "FID with a LeNet-family net" practice for MNIST-scale
+work). Absolute values are therefore not comparable to Inception-FID
+numbers; *relative* comparisons (sampler A vs B, dtype A vs B, checkpoint A
+vs B) are the point.
+
+TPU notes: training and featurization are each one jitted program scanning
+over batches (one dispatch per epoch / per featurize call — per-dispatch
+overhead on this backend is ~5-6 ms, see BASELINE.md). The Gaussian fit and
+the matrix square root run on the host in float64: feature dim is 128, so
+the eigendecomposition is microseconds and float64 matters more than speed
+(fp32 covariance roots are visibly noisy at small sample counts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FeatureNet(nn.Module):
+    """Small conv classifier for 28x28 grayscale; penultimate = features.
+
+    conv32-pool-conv64-pool-dense128(features)-dense10(logits). No
+    BatchNorm: the feature map must be a pure function of one image so FID
+    is batch-composition-independent.
+    """
+
+    feature_dim: int = 128
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_features: bool = False):
+        x = nn.Conv(32, (3, 3), padding="SAME", name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 14
+        x = nn.Conv(64, (3, 3), padding="SAME", name="conv2")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 7
+        x = x.reshape((x.shape[0], -1))
+        feats = nn.relu(nn.Dense(self.feature_dim, name="fc1")(x))
+        logits = nn.Dense(self.num_classes, name="fc2")(feats)
+        if return_features:
+            return logits, feats
+        return logits
+
+
+def train_feature_net(
+    images: np.ndarray,
+    labels: np.ndarray,
+    *,
+    epochs: int = 3,
+    batch_size: int = 256,
+    lr: float = 1e-3,
+    seed: int = 0,
+    feature_dim: int = 128,
+) -> Tuple[FeatureNet, dict]:
+    """Train ``FeatureNet`` on ``images`` in [-1, 1]; returns (model, params).
+
+    Each epoch is ONE jitted program: a ``lax.scan`` over a shuffled batch
+    index table with the dataset resident on-device (47 MB for full MNIST —
+    trivially HBM-fits), so the whole run costs ``epochs`` dispatches.
+    """
+    import optax
+
+    model = FeatureNet(feature_dim=feature_dim)
+    n = (len(images) // batch_size) * batch_size
+    if n == 0:
+        raise ValueError(f"need at least one batch of {batch_size} images")
+    x_all = jnp.asarray(images[:n], jnp.float32)
+    y_all = jnp.asarray(labels[:n], jnp.int32)
+    steps = n // batch_size
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key, x_all[:1])["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, xb, yb):
+        logits = model.apply({"params": params}, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yb
+        ).mean()
+
+    @jax.jit
+    def train_epoch(params, opt_state, x_all, y_all, perm):
+        def body(carry, idx):
+            params, opt_state = carry
+            xb = jnp.take(x_all, idx, axis=0)
+            yb = jnp.take(y_all, idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        idxs = perm.reshape(steps, batch_size)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), idxs
+        )
+        return params, opt_state, losses.mean()
+
+    for _ in range(epochs):
+        key, perm_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n)
+        params, opt_state, _ = train_epoch(params, opt_state, x_all, y_all, perm)
+
+    return model, jax.device_get(params)
+
+
+def classifier_accuracy(
+    model: FeatureNet, params, images: np.ndarray, labels: np.ndarray,
+    batch_size: int = 512,
+) -> float:
+    """Top-1 accuracy (sanity check that the feature space is meaningful)."""
+    preds = []
+    apply = jax.jit(lambda p, x: jnp.argmax(model.apply({"params": p}, x), -1))
+    for i in range(0, len(images), batch_size):
+        xb = jnp.asarray(images[i : i + batch_size], jnp.float32)
+        preds.append(np.asarray(apply(params, xb)))
+    return float((np.concatenate(preds) == labels[: len(images)]).mean())
+
+
+def featurize(
+    model: FeatureNet, params, images: np.ndarray, batch_size: int = 512
+) -> np.ndarray:
+    """Feature matrix (N, feature_dim) for images in [-1, 1].
+
+    Pads the tail batch (static shapes — one compiled program serves every
+    call) and trims after fetch.
+    """
+    n = len(images)
+    if n == 0:
+        raise ValueError("featurize needs at least one image")
+
+    @jax.jit
+    def apply(params, xb):
+        _, feats = model.apply({"params": params}, xb, return_features=True)
+        return feats
+
+    out = []
+    for i in range(0, n, batch_size):
+        xb = np.asarray(images[i : i + batch_size], np.float32)
+        if len(xb) < batch_size:
+            pad = np.zeros((batch_size - len(xb),) + xb.shape[1:], np.float32)
+            fb = apply(params, jnp.asarray(np.concatenate([xb, pad])))
+            out.append(np.asarray(fb)[: len(xb)])
+        else:
+            out.append(np.asarray(apply(params, jnp.asarray(xb))))
+    return np.concatenate(out).astype(np.float64)
+
+
+def frechet_gaussian_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, covariance) of a feature matrix, float64."""
+    feats = np.asarray(feats, np.float64)
+    if feats.ndim != 2 or len(feats) < 2:
+        raise ValueError(f"need a (N>=2, D) feature matrix, got {feats.shape}")
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def fid_from_stats(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """Frechet distance between two Gaussians.
+
+    tr(sqrt(S1 S2)) via the eigenvalues of S1 @ S2: for symmetric PSD S1,
+    S2 the product has real non-negative spectrum, so the trace of its
+    principal square root is sum(sqrt(eigvals)) — no scipy.linalg.sqrtm
+    (which goes complex from rounding noise and needs the usual .real
+    scrubbing). Tiny negative eigenvalues from float64 rounding are
+    clipped.
+    """
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    diff = mu1 - mu2
+    prod = np.asarray(sigma1, np.float64) @ np.asarray(sigma2, np.float64)
+    eigvals = np.linalg.eigvals(prod)
+    tr_covmean = np.sqrt(np.clip(eigvals.real, 0.0, None)).sum()
+    return float(
+        diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_covmean
+    )
+
+
+def fid_score(
+    model: FeatureNet,
+    params,
+    real_images: np.ndarray,
+    gen_images: np.ndarray,
+    batch_size: int = 512,
+    real_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> float:
+    """FID between real and generated image sets (both in [-1, 1]).
+
+    ``real_stats`` short-circuits re-featurizing the real set when scoring
+    many sampler variants against the same reference distribution.
+    """
+    if real_stats is None:
+        real_stats = frechet_gaussian_stats(
+            featurize(model, params, real_images, batch_size)
+        )
+    gen_stats = frechet_gaussian_stats(
+        featurize(model, params, gen_images, batch_size)
+    )
+    return fid_from_stats(*real_stats, *gen_stats)

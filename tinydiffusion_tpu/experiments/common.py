@@ -28,6 +28,62 @@ def resolve_dtype(name: str):
     return table[name]
 
 
+def load_pixel_checkpoint(path: str):
+    """Rebuild a pixel-space UNet28 + train state from a checkpoint sidecar.
+
+    Everything serving needs is derived from the sidecar config the trainer
+    wrote (SURVEY.md section 2 #17-18: config round-tripped through the
+    checkpoint): conditionality, time_dim, noise schedule, prediction
+    target, EMA presence. Returns a dict with keys ``model``, ``state``,
+    ``params`` (EMA shadow when the run trained one), ``schedule``, ``cfg``,
+    plus the derived ``conditional``/``num_classes``/``cfg_trained`` flags.
+    Shared by ``generate.py`` and ``tools/fid_eval.py``.
+    """
+    import optax
+
+    from tinydiffusion_tpu.io.checkpoint import load_sidecar, restore_checkpoint
+    from tinydiffusion_tpu.models.unet28 import UNet28
+    from tinydiffusion_tpu.train.trainer import create_train_state
+
+    sidecar = load_sidecar(path)
+    cfg = sidecar.get("config", {})
+    num_classes = int(cfg["num_classes"]) if "num_classes" in cfg else None
+    conditional = num_classes is not None
+    time_dim = int(cfg.get("time_dim", 256))
+    T = int(cfg.get("num_timesteps", 1000))
+
+    # CFG checkpoints carry one extra (null-class) embedding row, trained by
+    # label dropout; only those can serve a guidance scale != 1.
+    cfg_trained = float(cfg.get("label_dropout", 0.0)) > 0
+    n_embed = (num_classes + 1) if (conditional and cfg_trained) else num_classes
+
+    model = UNet28(time_dim=time_dim, num_classes=n_embed, dtype=jnp.bfloat16)
+    batch = int(cfg.get("batch_size", 128))
+    example = [jnp.zeros((batch, 28, 28, 1)), jnp.zeros((batch,), jnp.int32)]
+    if conditional:
+        example.append(jnp.zeros((batch,), jnp.int32))
+    # Checkpoints trained with --ema-decay carry an EMA shadow of the params;
+    # the template must match the saved tree, and serving prefers the shadow.
+    use_ema = float(cfg.get("ema_decay", 0.0)) > 0
+    template = create_train_state(
+        model, optax.adam(1e-3), tuple(example), jax.random.PRNGKey(0),
+        ema=use_ema,
+    )
+    state = restore_checkpoint(path, template)
+    schedule = DiffusionSchedule.make(cfg.get("noise_schedule", "linear"), T)
+    return {
+        "model": model,
+        "state": state,
+        "params": state.ema_params if use_ema else state.params,
+        "schedule": schedule,
+        "cfg": cfg,
+        "conditional": conditional,
+        "num_classes": num_classes,
+        "cfg_trained": cfg_trained,
+        "use_ema": use_ema,
+    }
+
+
 def make_sampler(
     model,
     schedule: DiffusionSchedule,
