@@ -130,5 +130,8 @@ class TestVariantGrammar:
         assert parse_variant("ddim50") == ("ddim", 50, "float32")
         assert parse_variant("ddpm-bf16") == ("ddpm", 0, "bfloat16")
         assert parse_variant("ddim10-bf16") == ("ddim", 10, "bfloat16")
+        assert parse_variant("dpmpp10") == ("dpmpp", 10, "float32")
+        assert parse_variant("dpmpp") == ("dpmpp", 20, "float32")
+        assert parse_variant("dpmpp15-bf16") == ("dpmpp", 15, "bfloat16")
         with pytest.raises(ValueError):
             parse_variant("plms")

@@ -183,3 +183,135 @@ def test_make_sampler_ddim_wiring():
 
     with pytest.raises(ValueError, match="unknown sampler method"):
         make_sampler(model, sched, (2, 28, 28, 1), method="plms")
+
+
+def test_dpmpp_eps_oracle_recovers_x0_exactly():
+    """With an exact ε-oracle for a fixed x0*, every x0-prediction is x0*,
+    the 2M difference term (m - m_prev) vanishes, and the chain lands on
+    x0* exactly for ANY step count — closed-form check of the update rule,
+    including the K=1 and K=2 lower-order edge cases."""
+    from tinydiffusion_tpu.core.sampler import dpmpp_sample
+
+    T = 100
+    sched = DiffusionSchedule.linear(T)
+    x0_star = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 5)), jnp.float32
+    )
+    sac = jnp.sqrt(sched.alphas_cumprod)
+    s1m = jnp.sqrt(1.0 - sched.alphas_cumprod)
+
+    def oracle(x, t_vec):
+        t = t_vec[0]
+        return (x - sac[t] * x0_star) / s1m[t]
+
+    for n_steps in (1, 2, 5, 13, 50):
+        out = dpmpp_sample(
+            oracle, sched, x0_star.shape, jax.random.PRNGKey(1),
+            num_steps=n_steps,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x0_star), atol=2e-4, rtol=1e-4,
+        )
+
+
+def test_dpmpp_second_order_on_gaussian_field():
+    """For x0 ~ N(0, I) the exact ε-field is ε(x, t) = sqrt(1-ᾱ_t)·x and
+    the probability-flow map between any two timesteps is the IDENTITY
+    (every marginal is N(0, I)). DDIM's error halves per step doubling
+    (first order); the 2M error must roughly QUARTER per doubling and beat
+    DDIM at equal step count in the asymptotic regime."""
+    from tinydiffusion_tpu.core.sampler import ddim_sample, dpmpp_sample
+
+    sched = DiffusionSchedule.linear(1000)
+    s1m = jnp.sqrt(1.0 - sched.alphas_cumprod)
+
+    def exact_field(x, t_vec):
+        return s1m[t_vec[0]] * x
+
+    x_init = jnp.asarray(
+        np.random.default_rng(4).standard_normal((4, 16)), jnp.float32
+    )
+    norm = float(jnp.linalg.norm(x_init))
+    errs = {}
+    for K in (32, 64, 128):
+        d = ddim_sample(exact_field, sched, x_init.shape,
+                        jax.random.PRNGKey(0), num_steps=K, x_init=x_init)
+        p = dpmpp_sample(exact_field, sched, x_init.shape,
+                         jax.random.PRNGKey(0), num_steps=K, x_init=x_init)
+        errs[K] = (
+            float(jnp.linalg.norm(d - x_init)) / norm,
+            float(jnp.linalg.norm(p - x_init)) / norm,
+        )
+    for K, (e_ddim, e_dpmpp) in errs.items():
+        assert e_dpmpp < e_ddim, (K, errs)
+    # Order check: doubling steps must shrink the 2M error by >3x (second
+    # order quarters it; first order would only halve it).
+    assert errs[64][1] < errs[32][1] / 3, errs
+    assert errs[128][1] < errs[64][1] / 3, errs
+
+
+def test_dpmpp_converges_to_ddim_dense_limit():
+    """Both solvers discretize the SAME probability-flow ODE: on a smooth
+    nonlinear field, dpmpp at a modest step count must approach the
+    dense-step DDIM solution."""
+    from tinydiffusion_tpu.core.sampler import ddim_sample, dpmpp_sample
+
+    sched = DiffusionSchedule.linear(200)
+    apply_fn = lambda x, t: 0.4 * jnp.tanh(x)
+    x_init = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 8)), jnp.float32
+    )
+    dense = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                        num_steps=200, x_init=x_init)
+    p20 = dpmpp_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                       num_steps=20, x_init=x_init)
+    d20 = ddim_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                      num_steps=20, x_init=x_init)
+    err_p = float(jnp.linalg.norm(p20 - dense))
+    err_d = float(jnp.linalg.norm(d20 - dense))
+    assert err_p < err_d, (err_p, err_d)
+
+
+def test_dpmpp_deterministic_in_x_init():
+    """dpmpp draws no per-step noise: identical x_init => identical output
+    under different PRNG keys."""
+    from tinydiffusion_tpu.core.sampler import dpmpp_sample
+
+    sched = DiffusionSchedule.linear(40)
+    apply_fn = lambda x, t: 0.3 * x
+    x_init = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 4, 4, 1)), jnp.float32
+    )
+    a = dpmpp_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(0),
+                     num_steps=10, x_init=x_init)
+    b = dpmpp_sample(apply_fn, sched, x_init.shape, jax.random.PRNGKey(9),
+                     num_steps=10, x_init=x_init)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_make_sampler_dpmpp_wiring():
+    """make_sampler(method='dpmpp') runs end-to-end on a tiny conditional
+    model and rejects the unsupported inpainting combination."""
+    import pytest
+
+    from tinydiffusion_tpu.experiments.common import make_sampler
+    from tinydiffusion_tpu.models.unet28 import UNet28
+
+    model = UNet28(time_dim=16, base_width=4, num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 28, 28, 1)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
+    )
+    sched = DiffusionSchedule.linear(10)
+    sampler = make_sampler(model, sched, (2, 28, 28, 1), conditional=True,
+                           method="dpmpp", sample_steps=4)
+    out = sampler(variables["params"], variables["batch_stats"],
+                  jax.random.PRNGKey(1), y=jnp.array([3, 7], jnp.int32))
+    assert out.shape == (2, 28, 28, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+    with pytest.raises(ValueError, match="inpainting"):
+        make_sampler(model, sched, (2, 28, 28, 1), method="dpmpp",
+                     mask=np.ones((28, 28, 1)), x_known=np.zeros((28, 28, 1)))

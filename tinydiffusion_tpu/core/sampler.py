@@ -287,6 +287,101 @@ def ddim_sample(
     return x
 
 
+def dpmpp_sample(
+    apply_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    num_steps: int = 20,
+    dtype=jnp.float32,
+    x_init: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) (Lu et al. 2022): a second-order multistep ODE
+    solver in log-SNR time, compiled to a single ``lax.scan``.
+
+    Where DDIM is the first-order (exponential-Euler) discretization of the
+    probability-flow ODE, DPM-Solver++(2M) reuses the PREVIOUS step's
+    x0-prediction to cancel the local curvature term — second-order accuracy
+    at the identical cost of one model forward per step. In practice ~10-15
+    steps match DDIM-50 sample quality (measured with tools/fid_eval.py; see
+    BASELINE.md), a further ~4x serving speedup on top of DDIM's 20x over
+    the reference's fixed 1000-forward chain (diffusion.py:254-276). Any
+    eps- or v-trained checkpoint serves unchanged (conversion happens in
+    ``apply_fn`` upstream, experiments/common.make_sampler).
+
+    Update rule, stepping t -> s along the shared DDIM timestep grid, with
+    lambda = log(alpha/sigma) (alpha = sqrt(abar), sigma = sqrt(1-abar)),
+    h = lambda_s - lambda_t, and m = x0_hat = (x - sigma_t eps_hat)/alpha_t:
+
+        D   = m + (h_prev/h)^-1 / 2 * (m - m_prev)     [first step: D = m]
+        x_s = (sigma_s/sigma_t) x + alpha_s (1 - e^{-h}) D
+
+    The final step (s: abar = 1, lambda = +inf) degenerates to x = m and is
+    taken first-order (diffusers' ``lower_order_final``), which also matches
+    DDIM's final x0-prediction step.
+
+    TPU notes: the timestep grid is static, so every coefficient
+    (sigma-ratio, alpha_s(1-e^{-h}), the 2M correction weight) is
+    precomputed on the host in float64 numpy and scanned as small fp32
+    device arrays — the traced body is one model forward plus three fmas,
+    with no lambda/exp math (and no inf from the final step) inside the
+    compiled program. Deterministic given ``x_init`` (no per-step noise).
+    """
+    import numpy as np
+
+    # The DDIM grid, computed in pure numpy: this runs at TRACE time (all
+    # jnp ops inside a jitted caller would be staged as tracers), and the
+    # coefficients below must be concrete to precompute in float64.
+    top = schedule.num_timesteps - 1
+    num_steps = max(1, min(num_steps, top + 1))
+    taus = np.round(np.linspace(top, 0, num_steps)).astype(np.int64)
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)[taus]
+    alpha_t, sigma_t = np.sqrt(abar), np.sqrt(1.0 - abar)
+    lam = np.log(alpha_t / sigma_t)
+
+    # Step targets: the next grid point, then the clean endpoint (abar=1).
+    alpha_s = np.concatenate([alpha_t[1:], [1.0]])
+    sigma_s = np.concatenate([sigma_t[1:], [0.0]])
+    with np.errstate(divide="ignore"):
+        lam_s = np.concatenate([lam[1:], [np.inf]])
+    h = lam_s - lam  # per-step log-SNR advance; h[-1] = inf
+
+    c_x = sigma_s / sigma_t                      # final: 0
+    c_d = alpha_s * (-np.expm1(-h))              # final: 1 (e^{-inf} = 0)
+    # 2M correction weight on (m - m_prev): 0.5 * c_d * h / h_prev.
+    # Zero on the first step (no m_prev) and on the final step
+    # (lower-order final; h = inf would blow it up).
+    c_2 = np.zeros_like(c_d)
+    if num_steps > 2:
+        c_2[1:-1] = 0.5 * c_d[1:-1] * h[1:-1] / h[:-2]
+    coeffs = tuple(
+        jnp.asarray(v, dtype)
+        for v in (alpha_t, sigma_t, c_x, c_d, c_2)
+    )
+
+    key, init_key = jax.random.split(key)
+    x = (
+        x_init.astype(dtype)
+        if x_init is not None
+        else jax.random.normal(init_key, shape, dtype=dtype)
+    )
+
+    def body(carry, inputs):
+        x, m_prev = carry
+        t, a_t, s_t, cx, cd, c2 = inputs
+        t_vec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps_hat = apply_fn(x, t_vec).astype(x.dtype)
+        m = (x - s_t * eps_hat) / a_t
+        x = cx * x + cd * m + c2 * (m - m_prev)
+        return (x, m), None
+
+    taus_dev = jnp.asarray(taus, jnp.int32)
+    (x, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x)), (taus_dev,) + coeffs
+    )
+    return x
+
+
 def ddpm_denoising_trajectory(
     apply_fn: DenoiseFn,
     schedule: DiffusionSchedule,

@@ -10,7 +10,8 @@ variants of a trained checkpoint against it:
       --variants ddpm,ddim50,ddim10,ddpm-bf16 --n 4096
 
 Variant grammar: ``ddpm`` (reference-faithful 1000-step ancestral chain),
-``ddimK`` (K-step DDIM serving path), and an optional ``-bf16`` suffix for
+``ddimK`` (K-step DDIM serving path), ``dpmppK`` (K-step second-order
+DPM-Solver++(2M)), and an optional ``-bf16`` suffix for
 a bfloat16 chain carry (the shipped default is an fp32 carry over a bf16
 model forward — the suffix exists to QUANTIFY why: see BASELINE.md).
 
@@ -30,17 +31,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_variant(token: str):
-    """'ddpm' | 'ddimK' with optional '-bf16' -> (method, steps, dtype_name)."""
+    """'ddpm' | 'ddimK' | 'dpmppK' with optional '-bf16'
+    -> (method, steps, dtype_name)."""
     dtype = "float32"
     if token.endswith("-bf16"):
         token, dtype = token[: -len("-bf16")], "bfloat16"
     if token == "ddpm":
         return "ddpm", 0, dtype
-    if token.startswith("ddim"):
-        steps = int(token[len("ddim"):] or 50)
-        if steps < 1:
-            raise ValueError(f"ddim steps must be >= 1, got {steps}")
-        return "ddim", steps, dtype
+    for method, default_steps in (("dpmpp", 20), ("ddim", 50)):
+        if token.startswith(method):
+            steps = int(token[len(method):] or default_steps)
+            if steps < 1:
+                raise ValueError(f"{method} steps must be >= 1, got {steps}")
+            return method, steps, dtype
     raise ValueError(f"unknown sampler variant {token!r}")
 
 
@@ -50,7 +53,8 @@ def main(argv=None):
     parser.add_argument("--classifier", default="checkpoints/fid_classifier",
                         help="feature-net checkpoint; trained here if absent")
     parser.add_argument("--variants", default="ddpm,ddim50",
-                        help="comma list: ddpm | ddimK, optional -bf16 suffix")
+                        help="comma list: ddpm | ddimK | dpmppK, "
+                             "optional -bf16 suffix")
     parser.add_argument("--n", type=int, default=4096,
                         help="generated samples per variant")
     parser.add_argument("--sample-batch", type=int, default=128)
@@ -141,7 +145,7 @@ def main(argv=None):
 
     batch = args.sample_batch
     for method, steps, dtype_name in variants:
-        name = (f"{method}{steps if method == 'ddim' else ''}"
+        name = (f"{method}{steps if method != 'ddpm' else ''}"
                 + ("-bf16" if dtype_name == "bfloat16" else ""))
         sampler = make_sampler(
             loaded["model"], loaded["schedule"], (batch, 28, 28, 1),
