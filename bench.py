@@ -334,6 +334,19 @@ def main():
     force(out)
     images_per_sec_ddim50 = N_SAMPLE_IMAGES / (time.perf_counter() - t0)
 
+    # DPM-Solver++(2M)-20 (generate.py --sampler dpmpp): 20 forwards at
+    # better-than-ancestral FID (BASELINE.md sampler table).
+    dpmpp_sampler = make_sampler(
+        model, schedule, (N_SAMPLE_IMAGES, 28, 28, 1), dtype=jnp.float32,
+        method="dpmpp", sample_steps=20,
+    )
+    out = dpmpp_sampler(state.params, state.batch_stats, jax.random.PRNGKey(1))
+    force(out)
+    t0 = time.perf_counter()
+    out = dpmpp_sampler(state.params, state.batch_stats, jax.random.PRNGKey(2))
+    force(out)
+    images_per_sec_dpmpp20 = N_SAMPLE_IMAGES / (time.perf_counter() - t0)
+
     checks = kernel_selfchecks()
 
     vs_baseline = (
@@ -356,6 +369,7 @@ def main():
                 "sample_1000step_images_per_sec_b128_fp32": round(images_per_sec_b128, 3),
                 "sample_1000step_images_per_sec_bf16": round(images_per_sec_bf16, 3),
                 "sample_ddim50_images_per_sec_fp32": round(images_per_sec_ddim50, 3),
+                "sample_dpmpp20_images_per_sec_fp32": round(images_per_sec_dpmpp20, 3),
                 "sample_chain_seconds_fp32": round(sample_dt, 3),
                 "train_step_ms": round(train_dt / TRAIN_STEPS * 1e3, 3),
                 "latent_step_ms_single_dispatch": round(dt_lat_single * 1e3, 3),

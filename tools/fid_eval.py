@@ -116,14 +116,20 @@ def main(argv=None):
 
     rows = []
 
-    def report(name, feats_or_fid):
+    def report(name, feats_or_fid, label_acc=None):
         fid = (
             feats_or_fid
             if isinstance(feats_or_fid, float)
             else fid_from_stats(*real_stats, *frechet_gaussian_stats(feats_or_fid))
         )
-        rows.append({"variant": name, "fid": round(fid, 4), "n": args.n})
-        print(f"  {name:<16s} FID {fid:8.3f}")
+        row = {"variant": name, "fid": round(fid, 4), "n": args.n,
+               "guidance_scale": args.guidance_scale}
+        acc_txt = ""
+        if label_acc is not None:
+            row["label_acc"] = round(label_acc, 4)
+            acc_txt = f"   label-acc {label_acc:6.1%}"
+        rows.append(row)
+        print(f"  {name:<16s} FID {fid:8.3f}{acc_txt}")
         return fid
 
     # Calibration rows: what FID looks like for perfect and for garbage
@@ -156,7 +162,7 @@ def main(argv=None):
             prediction=loaded["cfg"].get("prediction", "eps"),
         )
         key = jax.random.PRNGKey(args.seed)
-        chunks = []
+        chunks, ys = [], []
         for start in range(0, args.n, batch):
             key, sk, yk = jax.random.split(key, 3)
             kwargs = {}
@@ -164,13 +170,25 @@ def main(argv=None):
                 kwargs["y"] = jax.random.randint(
                     yk, (batch,), 0, loaded["num_classes"]
                 )
+                ys.append(np.asarray(kwargs["y"]))
             chunks.append(np.asarray(
                 sampler(loaded["params"], loaded["state"].batch_stats, sk,
                         **kwargs),
                 np.float32,
             ))
-        gen = np.concatenate(chunks)[: args.n]
-        report(name, featurize(model, clf_params, np.clip(gen, -1.0, 1.0)))
+        gen = np.clip(np.concatenate(chunks)[: args.n], -1.0, 1.0)
+        # For conditional checkpoints, also report how often the classifier
+        # agrees the sample IS the requested class — the conditioning-
+        # fidelity axis FID alone can't see (CFG trades it against
+        # diversity; sweep --guidance-scale to map the tradeoff).
+        label_acc = (
+            classifier_accuracy(
+                model, clf_params, gen, np.concatenate(ys)[: args.n]
+            )
+            if conditional
+            else None
+        )
+        report(name, featurize(model, clf_params, gen), label_acc)
 
     if args.json_out:
         with open(args.json_out, "a") as f:
