@@ -21,6 +21,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _generate_latent(args, parser):
+    """Latent-family serving: latent reverse chain (any --sampler) + VAE
+    decode (latent_diffusion.py:308-347 semantics, outside the training
+    loop — the reference can only sample inside it)."""
+    from tinydiffusion_tpu.experiments.common import (
+        load_latent_checkpoint,
+        make_latent_pixel_sampler,
+        resolve_dtype,
+    )
+    from tinydiffusion_tpu.obs.images import save_image_grid
+
+    if args.init_image or args.inpaint_image or args.guidance_scale != 1.0:
+        parser.error(
+            "img2img/inpainting/guidance are pixel-checkpoint modes; latent "
+            "checkpoints support plain sampling with any --sampler"
+        )
+    loaded = load_latent_checkpoint(args.checkpoint)
+    print(
+        f"loaded {args.checkpoint} "
+        f"(backbone {loaded['cfg']['backbone']}, step "
+        f"{int(loaded['state'].step)}"
+        + (", sampling from EMA params)" if loaded["use_ema"] else ")")
+    )
+    sampler = make_latent_pixel_sampler(
+        loaded, args.n, method=args.sampler, sample_steps=args.sample_steps,
+        eta=args.eta, dtype=resolve_dtype(args.sample_dtype),
+    )
+    key = jax.random.PRNGKey(args.seed)
+    if args.digit is not None:
+        y = jnp.full((args.n,), args.digit, jnp.int32)
+    else:
+        key, y_key = jax.random.split(key)
+        y = jax.random.randint(y_key, (args.n,), 0, loaded["num_classes"])
+    samples = sampler(key, y)
+    images = np.asarray(jax.device_get((samples + 1) / 2), np.float32)
+    nrow = max(int(np.sqrt(args.n)), 1)
+    save_image_grid(images, args.out, nrow=nrow, labels=np.asarray(y))
+    print(f"wrote {args.n} samples to {args.out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", required=True)
@@ -62,7 +102,15 @@ def main(argv=None):
         make_sampler,
         resolve_dtype,
     )
+    from tinydiffusion_tpu.io.checkpoint import load_sidecar
     from tinydiffusion_tpu.obs.images import save_image_grid
+
+    # One serving CLI for the whole MNIST-family zoo: the sidecar's
+    # 'backbone' key marks a latent checkpoint (latent_diffusion.py /
+    # diffusion_transformer.py), which samples in latent space and decodes
+    # through its recorded VAE.
+    if "backbone" in load_sidecar(args.checkpoint).get("config", {}):
+        return _generate_latent(args, parser)
 
     loaded = load_pixel_checkpoint(args.checkpoint)
     model, state, params = loaded["model"], loaded["state"], loaded["params"]

@@ -85,6 +85,131 @@ def load_pixel_checkpoint(path: str):
     }
 
 
+def load_latent_checkpoint(path: str, vae_checkpoint: str | None = None):
+    """Rebuild a latent-family denoiser (mlp_unet or dit backbone) AND its
+    VAE decoder from checkpoint sidecars, for serving/eval outside the
+    training loop.
+
+    The sidecar's ``backbone`` key marks a latent-family checkpoint; the
+    VAE comes from the path recorded at train time
+    (latent_diffusion.py:422-434 round-trip semantics), overridable with
+    ``vae_checkpoint`` for relocated files. Unlike the training-time loader
+    this RAISES when the VAE checkpoint is missing — serving from a
+    fresh random decoder silently produces garbage.
+
+    Returns a dict with ``model``, ``state``, ``params`` (EMA shadow when
+    trained), ``vae_model``, ``vae_params``, ``latent_dim``, ``schedule``,
+    ``cfg``, ``num_classes``, ``prediction``, ``use_ema``.
+    """
+    import optax
+
+    from tinydiffusion_tpu.experiments.latent_diffusion import (
+        LatentDiffusionConfig,
+        build_denoiser,
+        load_vae,
+    )
+    from tinydiffusion_tpu.io.checkpoint import (
+        checkpoint_exists,
+        load_sidecar,
+        restore_checkpoint,
+    )
+    from tinydiffusion_tpu.train.trainer import create_train_state
+
+    sidecar = load_sidecar(path)
+    cfg = sidecar.get("config", {})
+    if "backbone" not in cfg:
+        raise ValueError(
+            f"{path} is not a latent-family checkpoint (sidecar has no "
+            "'backbone'); pixel checkpoints load via load_pixel_checkpoint"
+        )
+    known = {f.name for f in dataclasses.fields(LatentDiffusionConfig)}
+    lcfg = LatentDiffusionConfig(**{k: v for k, v in cfg.items() if k in known})
+    if vae_checkpoint is not None:
+        lcfg = dataclasses.replace(lcfg, vae_checkpoint=vae_checkpoint)
+    if not checkpoint_exists(lcfg.vae_checkpoint):
+        raise FileNotFoundError(
+            f"VAE checkpoint {lcfg.vae_checkpoint!r} (recorded in {path}'s "
+            "sidecar) not found; pass vae_checkpoint= to point at it"
+        )
+    vae_model, vae_params, latent_dim = load_vae(lcfg)
+
+    model = build_denoiser(lcfg, latent_dim, resolve_dtype(lcfg.compute_dtype))
+    schedule = DiffusionSchedule.make(lcfg.noise_schedule, lcfg.num_timesteps)
+    use_ema = lcfg.ema_decay > 0
+    example = (
+        jnp.zeros((lcfg.batch_size, latent_dim), jnp.float32),
+        jnp.zeros((lcfg.batch_size,), jnp.int32),
+        jnp.zeros((lcfg.batch_size,), jnp.int32),
+    )
+    # The dit recipe trains with a schedule-bearing Adam
+    # (diffusion_transformer.py:176-177: cosine over epochs), whose
+    # opt_state tree differs from plain Adam's — the restore template's
+    # optimizer must match the one that wrote the checkpoint.
+    tx = (
+        optax.adam(lambda step: 3e-4)
+        if lcfg.backbone == "dit"
+        else optax.adam(1e-3)
+    )
+    template = create_train_state(
+        model, tx, example, jax.random.PRNGKey(0), ema=use_ema
+    )
+    state = restore_checkpoint(path, template)
+    return {
+        "model": model,
+        "state": state,
+        "params": state.ema_params if use_ema else state.params,
+        "vae_model": vae_model,
+        "vae_params": vae_params,
+        "latent_dim": latent_dim,
+        "schedule": schedule,
+        "cfg": cfg,
+        "num_classes": lcfg.num_classes,
+        "prediction": lcfg.prediction,
+        "use_ema": use_ema,
+    }
+
+
+def make_latent_pixel_sampler(
+    loaded: dict,
+    n: int,
+    method: str = "ddpm",
+    sample_steps: int = 50,
+    eta: float = 0.0,
+    dtype=jnp.float32,
+):
+    """Pixel-space sampler over a loaded latent-family checkpoint: the
+    latent reverse chain (any of the three methods — the chains are
+    shape-agnostic) followed by the VAE decode tail.
+
+    Returns ``fn(key, y) -> (n, 28, 28, 1)`` images in [-1, 1]. The decode
+    costs one extra dispatch after the chain (~5 ms on this backend) — kept
+    separate so the chain program is shared with pixel checkpoints.
+    """
+    from tinydiffusion_tpu.models.vae_mnist import VAEMnist
+
+    lat_sampler = make_sampler(
+        loaded["model"], loaded["schedule"], (n, loaded["latent_dim"]),
+        conditional=True, dtype=dtype, method=method,
+        sample_steps=sample_steps, eta=eta,
+        prediction=loaded["prediction"],
+    )
+    vae_model = loaded["vae_model"]
+    decode = jax.jit(
+        lambda vp, z: vae_model.apply({"params": vp}, z, method=VAEMnist.decode)
+    )
+
+    def sample_fn(key, y):
+        z = lat_sampler(
+            loaded["params"], loaded["state"].batch_stats, key, y=y
+        )
+        # decode outputs [0, 1] (sigmoid head); serve in [-1, 1] like the
+        # pixel models so downstream (grids, FID) is uniform.
+        x = decode(loaded["vae_params"], z) * 2.0 - 1.0
+        return x.reshape(-1, 28, 28, 1)
+
+    return sample_fn
+
+
 def make_sampler(
     model,
     schedule: DiffusionSchedule,

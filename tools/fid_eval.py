@@ -79,12 +79,15 @@ def main(argv=None):
         train_feature_net,
     )
     from tinydiffusion_tpu.experiments.common import (
+        load_latent_checkpoint,
         load_pixel_checkpoint,
+        make_latent_pixel_sampler,
         make_sampler,
         resolve_dtype,
     )
     from tinydiffusion_tpu.io.checkpoint import (
         checkpoint_exists,
+        load_sidecar,
         restore_checkpoint,
         save_checkpoint,
     )
@@ -145,22 +148,42 @@ def main(argv=None):
     ))
 
     # --- sampler variants ---------------------------------------------
-    loaded = load_pixel_checkpoint(args.checkpoint)
-    conditional = loaded["conditional"]
+    # The sidecar's 'backbone' key marks a latent-family checkpoint
+    # (latent chain + VAE decode); pixel checkpoints sample directly.
+    is_latent = "backbone" in load_sidecar(args.checkpoint).get("config", {})
+    if is_latent:
+        loaded = load_latent_checkpoint(args.checkpoint)
+        conditional = True
+        if args.guidance_scale != 1.0:
+            parser.error("--guidance-scale applies to pixel CFG checkpoints")
+    else:
+        loaded = load_pixel_checkpoint(args.checkpoint)
+        conditional = loaded["conditional"]
     print(f"loaded {args.checkpoint} (step {int(loaded['state'].step)})")
 
     batch = args.sample_batch
     for method, steps, dtype_name in variants:
         name = (f"{method}{steps if method != 'ddpm' else ''}"
                 + ("-bf16" if dtype_name == "bfloat16" else ""))
-        sampler = make_sampler(
-            loaded["model"], loaded["schedule"], (batch, 28, 28, 1),
-            conditional=conditional, dtype=resolve_dtype(dtype_name),
-            method=method, sample_steps=steps,
-            guidance_scale=args.guidance_scale,
-            null_label=loaded["num_classes"] if loaded["cfg_trained"] else None,
-            prediction=loaded["cfg"].get("prediction", "eps"),
-        )
+        if is_latent:
+            latent_fn = make_latent_pixel_sampler(
+                loaded, batch, method=method, sample_steps=steps,
+                dtype=resolve_dtype(dtype_name),
+            )
+
+            def sampler(params, batch_stats, sk, y=None, _fn=latent_fn):
+                return _fn(sk, y)
+        else:
+            sampler = make_sampler(
+                loaded["model"], loaded["schedule"], (batch, 28, 28, 1),
+                conditional=conditional, dtype=resolve_dtype(dtype_name),
+                method=method, sample_steps=steps,
+                guidance_scale=args.guidance_scale,
+                null_label=(
+                    loaded["num_classes"] if loaded["cfg_trained"] else None
+                ),
+                prediction=loaded["cfg"].get("prediction", "eps"),
+            )
         key = jax.random.PRNGKey(args.seed)
         chunks, ys = [], []
         for start in range(0, args.n, batch):
