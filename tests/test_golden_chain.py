@@ -32,7 +32,7 @@ _tv.transforms = sys.modules["torchvision.transforms"]
 _tv.utils = sys.modules["torchvision.utils"]
 _tv.datasets = sys.modules["torchvision.datasets"]
 
-sys.path.insert(0, "/root/reference")
+from tests.reference_loader import load_reference  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -45,7 +45,7 @@ from tinydiffusion_tpu.models.unet28 import UNet28  # noqa: E402
 
 @pytest.mark.heavy
 def test_full_chain_matches_reference():
-    import diffusion as ref
+    ref = load_reference("diffusion")
 
     T = 25
     n = 2

@@ -53,7 +53,7 @@ _tv.transforms.ToTensor = lambda: (lambda x: x)
 _tv.transforms.Normalize = lambda *a, **k: (lambda x: x)
 _tv.datasets.MNIST = _FakeMNIST
 
-sys.path.insert(0, "/root/reference")
+from tests.reference_loader import load_reference  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -71,7 +71,7 @@ def _sd_numpy(model):
 
 
 def test_unet28_matches_reference():
-    import diffusion as ref
+    ref = load_reference("diffusion")
 
     tmodel = ref.NoiseModel()
     tmodel.eval()
@@ -99,7 +99,7 @@ def test_unet28_matches_reference():
 
 
 def test_conditional_unet28_matches_reference():
-    import conditional_diffusion as ref
+    ref = load_reference("conditional_diffusion")
 
     tmodel = ref.NoiseModel()
     tmodel.eval()
@@ -131,7 +131,7 @@ def test_conditional_unet28_matches_reference():
 
 
 def test_vae_mnist_matches_reference():
-    import vae as ref_vae
+    ref_vae = load_reference("vae")
 
     tmodel = ref_vae.VAE(ref_vae.VAEConfig())
     tmodel.eval()
@@ -154,7 +154,7 @@ def test_vae_mnist_matches_reference():
 
 
 def test_mlp_unet_matches_reference():
-    import latent_diffusion as ref
+    ref = load_reference("latent_diffusion")
 
     tmodel = ref.NoiseModel()
     tmodel.eval()
@@ -181,7 +181,7 @@ def test_mlp_unet_matches_reference():
 
 @pytest.mark.heavy
 def test_dit_matches_reference():
-    import diffusion_transformer as ref
+    ref = load_reference("diffusion_transformer")
 
     tmodel = ref.NoiseModel()
     tmodel.eval()
