@@ -75,15 +75,15 @@ def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
     return resize_bilinear_align_corners(x, (2 * h, 2 * w))
 
 
-def max_pool_ceil(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
-    """``nn.MaxPool2d(window, stride, ceil_mode=True)`` on NHWC.
-
-    ceil_mode pads the bottom/right edge with -inf so odd sizes round up
-    (28 -> 14 -> 7 -> 4 in the reference encoder, diffusion.py:101, 119-124).
-    """
-    _, h, w, _ = x.shape
+def _pool_pads(h: int, w: int, window: int, stride: int):
     pad_h = (-(h - window) % stride) if h > window else (window - h)
     pad_w = (-(w - window) % stride) if w > window else (window - w)
+    return pad_h, pad_w
+
+
+def _reduce_window_max(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    _, h, w, _ = x.shape
+    pad_h, pad_w = _pool_pads(h, w, window, stride)
     # NOTE: init must be a Python scalar, not a traced array — a traced init
     # demotes the op from reduce_window_max (which has a VJP) to the generic
     # variadic reduce_window (which does not support reverse-mode autodiff).
@@ -95,3 +95,60 @@ def max_pool_ceil(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarr
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
     )
+
+
+@jax.custom_vjp
+def _max_pool_ceil_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return _reduce_window_max(x, 2, 2)
+
+
+def _max_pool_2x2_fwd(x):
+    return _max_pool_ceil_2x2(x), x
+
+
+def _max_pool_2x2_bwd(x, g):
+    """Backward without XLA's select-and-scatter (4.5% of the UNet28 train
+    step device time, BASELINE.md hotspot table — the single most expensive
+    non-MXU op in the step).
+
+    2x2/stride-2 windows are DISJOINT, so the gradient routes to the
+    argmax within each window independently: pad to even with -inf,
+    reshape to expose the 4 window positions, one-hot on argmax, multiply,
+    reshape back. All elementwise + a length-4 argmax — XLA fuses it with
+    the surrounding bf16->fp32 converts instead of emitting the serial
+    select-and-scatter custom call. ``jnp.argmax`` takes the FIRST max in
+    (dy, dx) row-major order — exactly torch's MaxPool2d backward
+    convention (and select-and-scatter's GE-select order), so gradients
+    are identical including on ties.
+    """
+    b, h, w, c = x.shape
+    pad_h, pad_w = _pool_pads(h, w, 2, 2)
+    xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                 constant_values=-jnp.inf)
+    hp, wp = h + pad_h, w + pad_w
+    # (B, Ho, dy, Wo, dx, C) -> (B, Ho, Wo, dy*dx, C), row-major (dy, dx)
+    xw = xp.reshape(b, hp // 2, 2, wp // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(b, hp // 2, wp // 2, 4, c)
+    onehot = jax.nn.one_hot(jnp.argmax(xw, axis=3), 4, axis=3, dtype=g.dtype)
+    gw = onehot * g[:, :, :, None, :]
+    gp = gw.reshape(b, hp // 2, wp // 2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    gp = gp.reshape(b, hp, wp, c)
+    return (gp[:, :h, :w, :],)
+
+
+_max_pool_ceil_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+
+
+def max_pool_ceil(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """``nn.MaxPool2d(window, stride, ceil_mode=True)`` on NHWC.
+
+    ceil_mode pads the bottom/right edge with -inf so odd sizes round up
+    (28 -> 14 -> 7 -> 4 in the reference encoder, diffusion.py:101, 119-124).
+
+    The 2x2/stride-2 case (every use in the repo) carries a custom VJP
+    that replaces select-and-scatter with disjoint-window argmax routing —
+    identical gradients (torch's first-max tie convention), fusible ops.
+    """
+    if window == 2 and stride == 2:
+        return _max_pool_ceil_2x2(x)
+    return _reduce_window_max(x, window, stride)
