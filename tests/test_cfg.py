@@ -45,6 +45,7 @@ def _find_embedding(params):
     raise AssertionError("class embedding table not found")
 
 
+@pytest.mark.heavy  # ~19s compile — re-tiered r5
 def test_label_dropout_trains_the_null_row():
     """With dropout the reserved null embedding row receives gradient; without
     it the row never moves (labels stay in [0, NCLS)).
@@ -203,6 +204,7 @@ def _laion_setup():
     return schedule, model, tx, state, images, embeds, null
 
 
+@pytest.mark.heavy  # ~35s compile — re-tiered r5
 def test_laion_caption_dropout_and_ema_step():
     """The text-conditional step trains with caption dropout + EMA: loss
     finite, the EMA shadow moves and lags the live params."""
@@ -237,6 +239,7 @@ def test_laion_caption_dropout_requires_null_embed():
                               caption_dropout=0.5)
 
 
+@pytest.mark.heavy  # ~21s compile — re-tiered r5
 def test_laion_guided_sampler_identities():
     """s=1 bypasses the doubled-batch path and equals the plain sampler;
     s=0 equals sampling with every embedding set to the null embedding;

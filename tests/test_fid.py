@@ -80,6 +80,7 @@ def trained_net(tiny_mnist):
     )
 
 
+@pytest.mark.heavy  # 180s+ module fixture (feature-net training) — re-tiered r5
 class TestFeatureNet:
     def test_learns_synthetic_digits(self, tiny_mnist, trained_net):
         _, _, x_test, y_test = tiny_mnist

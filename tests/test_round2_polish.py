@@ -29,6 +29,7 @@ def tiny_conditional():
     return model, variables, schedule
 
 
+@pytest.mark.heavy  # 17s module fixture — re-tiered r5
 def test_conditional_sampler_missing_y_raises(tiny_conditional):
     """Parity with the reference's clean errors (conditional_diffusion.py:358-363)."""
     model, variables, schedule = tiny_conditional
@@ -38,6 +39,7 @@ def test_conditional_sampler_missing_y_raises(tiny_conditional):
                 jax.random.PRNGKey(0))
 
 
+@pytest.mark.heavy
 def test_conditional_sampler_bad_y_shape_raises(tiny_conditional):
     model, variables, schedule = tiny_conditional
     sampler = make_sampler(model, schedule, (2, 28, 28, 1), conditional=True)
@@ -50,6 +52,7 @@ def test_conditional_sampler_bad_y_shape_raises(tiny_conditional):
                 jax.random.PRNGKey(0), y=jnp.zeros((2,), jnp.int32), n=4)
 
 
+@pytest.mark.heavy
 def test_conditional_sampler_valid_y_runs(tiny_conditional):
     model, variables, schedule = tiny_conditional
     sampler = make_sampler(model, schedule, (2, 28, 28, 1), conditional=True)

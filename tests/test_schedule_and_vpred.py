@@ -220,6 +220,7 @@ def test_diffusion_experiment_cosine_vpred_smoke(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.heavy  # ~16s — re-tiered r5
 def test_latent_v_prediction_step():
     """prediction='v' in the latent trainer scores against the LATENT
     z0-based v target (regression: an early draft mistakenly used the pixel

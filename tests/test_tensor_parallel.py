@@ -38,6 +38,7 @@ def _clone(tree):
     return jax.tree_util.tree_map(jnp.copy, tree)
 
 
+@pytest.mark.heavy  # ~16s — re-tiered r5
 def test_infer_state_sharding_rules():
     model, schedule, tx, state, x0 = _setup()
     mesh = make_mesh(("data", "model"), shape=(2, 4))

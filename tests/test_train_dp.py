@@ -100,6 +100,7 @@ def test_eval_step_deterministic(setup):
     assert float(l1) == float(l2)
 
 
+@pytest.mark.heavy  # ~15s — re-tiered r5
 def test_conditional_train_step(setup):
     _, schedule, tx, _, x0 = setup
     model = UNet28(time_dim=32, base_width=8, num_classes=10)

@@ -5,6 +5,7 @@ PRNG) through ``lax.scan`` as the single-step program does through repeated
 dispatches, so losses and final params must match bitwise-ish (fp32 CPU:
 tight tolerance)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +61,7 @@ def test_multi_step_matches_sequential_single_steps():
     assert int(s2.step) == K
 
 
+@pytest.mark.heavy  # ~14s; the single-device bitwise test keeps quick coverage — r5
 def test_multi_step_on_mesh_matches_single_device():
     schedule, model, tx, state, x0s, ys = _setup(conditional=True, opt="sgd")
 

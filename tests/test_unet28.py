@@ -1,6 +1,7 @@
 """UNet28 structural tests: shapes, parameter census, jit-ability,
 conditional variant (reference: diffusion.py:11-162, conditional_diffusion.py:14-171)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ def _init(model, conditional=False, batch=2):
     return model.init(jax.random.PRNGKey(0), x, t), (x, t)
 
 
+@pytest.mark.heavy  # ~17s compile; conditional shape test keeps quick coverage — r5
 def test_output_shape_unconditional():
     model = UNet28()
     variables, args = _init(model)
@@ -76,6 +78,7 @@ def test_batchnorm_mutates_in_train_mode():
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
+@pytest.mark.heavy  # ~19s compile — re-tiered r5
 def test_jit_and_bfloat16():
     model = UNet28(dtype=jnp.bfloat16)
     variables, (x, t) = _init(model)

@@ -28,6 +28,7 @@ def vae():
     return model, variables
 
 
+@pytest.mark.heavy  # 40s+ module fixture (256-channel init on 1-core CPU) — r5
 def test_encode_decode_shapes(vae):
     model, variables = vae
     x = jnp.zeros((2, SIZE, SIZE, 3))
@@ -39,6 +40,7 @@ def test_encode_decode_shapes(vae):
     assert float(recon.min()) >= 0.0 and float(recon.max()) <= 1.0
 
 
+@pytest.mark.heavy
 def test_spectral_norm_and_bn_stats_update(vae):
     model, variables = vae
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
@@ -118,6 +120,7 @@ def test_conv_vae_trains(vae):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.heavy
 def test_logvar_clamped_at_extreme_inputs(vae):
     """Round-2 stabilization: the reference's unbounded logvar NaNs out
     mid-training at the 256x256 recipe; encode must clamp to [-30, 10]

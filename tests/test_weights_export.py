@@ -36,6 +36,7 @@ def _small_state():
     )
 
 
+@pytest.mark.heavy  # ~16s — re-tiered r5
 def test_weights_round_trip_struct(tmp_path):
     """Full train state -> npz (serving subset) -> fresh template."""
     model, tx, state = _small_state()
