@@ -33,10 +33,22 @@ import os as _os
 # Persistent XLA compilation cache: first compile of the UNet train step +
 # 1000-step sampler costs minutes on this host; every later process reuses
 # the compiled binaries. Opt out with TINYDIFF_NO_COMPILE_CACHE=1.
-if not _os.environ.get("TINYDIFF_NO_COMPILE_CACHE") and not _os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR"
-):
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.expanduser(
+#
+# This MUST go through jax.config.update: every entry point imports jax
+# before this package, and JAX samples the JAX_COMPILATION_CACHE_DIR env var
+# once at `import jax` — the round-1..4 env-var approach here therefore
+# never took effect (measured: empty cache dir after a full bench run).
+# jax.config.update works at any time before the first compilation.
+if not _os.environ.get("TINYDIFF_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.expanduser(
         "~/.cache/tinydiffusion_tpu/xla_cache"
     )
-    _os.makedirs(_os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # Cache every program: on this backend even trivial compiles pay a
+    # multi-second remote AOT round trip (measured 33.8 s for a toy 512x512
+    # matmul chain), far above the 1 s default threshold either way.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
