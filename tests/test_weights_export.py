@@ -118,3 +118,52 @@ def test_template_missing_slot_raises(tmp_path):
     save_weights(path, params)
     with pytest.raises(ValueError, match="no slot"):
         restore_weights(path, {"w": jnp.zeros((4,))})
+
+
+def test_step_prefixed_weight_subtree_not_silently_dropped(tmp_path):
+    """ADVICE r4: an npz subtree named 'step_embed/...' must raise the
+    template-mismatch error when the template lacks it — only the exact
+    'step' scalar leaf is exempt from the unused-key check."""
+    params = {"w": jnp.zeros((4,)), "step_embed": {"kernel": jnp.ones((2, 2))}}
+    path = str(tmp_path / "stepish")
+    save_weights(path, params)
+    with pytest.raises(ValueError, match="no slot"):
+        restore_weights(path, {"w": jnp.zeros((4,))})
+
+
+def test_normalized_key_collision_raises(tmp_path):
+    """ADVICE r4: two distinct leaves that normalize to the same flat key
+    (separator characters are stripped) must refuse to save rather than
+    silently dropping one."""
+    params = {"a/b": jnp.zeros((2,)), "a": {"b": jnp.ones((2,))}}
+    with pytest.raises(ValueError, match="collision"):
+        save_weights(str(tmp_path / "coll"), params)
+
+
+def test_npz_fallback_into_resume_template_warns(tmp_path, capsys):
+    """ADVICE r4 (medium): restoring the serving-only npz into a template
+    that carries opt_state/rng (a training-resume call site) prints the
+    degraded-resume warning; a serving template (no opt_state) does not."""
+    params = {"w": jnp.full((4,), 2.0)}
+    path = str(tmp_path / "serve")
+    save_weights(path, {"params": params, "step": jnp.asarray(7)})
+
+    resume_template = {
+        "params": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "step": jnp.asarray(0),
+        "opt_state": {"mu": jnp.zeros((4,))},
+        "rng": jax.random.PRNGKey(0),
+    }
+    restored = restore_checkpoint(path, resume_template)
+    out = capsys.readouterr().out
+    assert "optimizer state and RNG are" in out, out
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 2.0)
+    # opt_state untouched (template value kept)
+    np.testing.assert_allclose(np.asarray(restored["opt_state"]["mu"]), 0.0)
+
+    serve_template = {
+        "params": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "step": jnp.asarray(0),
+    }
+    restore_checkpoint(path, serve_template)
+    assert "optimizer state" not in capsys.readouterr().out

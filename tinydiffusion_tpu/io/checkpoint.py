@@ -62,6 +62,19 @@ def _flat_items(tree: Any) -> tuple[dict, Any]:
     """Flatten a pytree to {normalized-key-path: leaf} + treedef."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     items = {_norm_key(path): leaf for path, leaf in flat}
+    if len(items) != len(flat):
+        # _norm_key strips separator characters, so two distinct leaves CAN
+        # normalize to the same key (e.g. a dict key containing '/'); losing
+        # one silently would corrupt the npz. Refuse instead.
+        seen: dict = {}
+        for path, _ in flat:
+            k = _norm_key(path)
+            if k in seen:
+                raise ValueError(
+                    f"npz key collision: {jax.tree_util.keystr(path)!r} and "
+                    f"{seen[k]!r} both normalize to {k!r}"
+                )
+            seen[k] = jax.tree_util.keystr(path)
     return items, treedef
 
 
@@ -156,7 +169,10 @@ def restore_weights(path: str, template: Any) -> Any:
             used.add(key)
         else:
             leaves.append(leaf)
-    unused = [k for k in arrays if k not in used and not k.startswith("step")]
+    # 'step' is the exact top-level scalar leaf — match it exactly so a
+    # weight subtree whose name merely begins with "step" (e.g. a missing
+    # step_embed module) still raises the template-mismatch error.
+    unused = [k for k in arrays if k not in used and k != "step"]
     if unused:
         raise ValueError(
             f"{path}.npz carries weights the template has no slot for "
@@ -190,6 +206,21 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     the committed zoo without retraining."""
     path = _abspath(path)
     if not os.path.isdir(path) and os.path.exists(path + ".npz"):
+        def _has(name):
+            if isinstance(template, Mapping):
+                return template.get(name) is not None
+            return getattr(template, name, None) is not None
+
+        if _has("opt_state") or _has("rng"):
+            # The npz carries serving weights only. A training-resume caller
+            # (template has opt_state/rng) would silently continue with a
+            # fresh zero optimizer and template RNG — degraded, not exact.
+            print(
+                f"WARNING: {path}: Orbax dir absent — restoring portable npz "
+                "serving weights only; optimizer state and RNG are "
+                "reinitialized (training resume from this point is NOT an "
+                "exact continuation)."
+            )
         return restore_weights(path, template)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:

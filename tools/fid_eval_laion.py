@@ -35,14 +35,17 @@ def rgb_channels(size: int):
     return widths[:blocks]
 
 
-def synth_set(n: int, size: int):
-    """(images uint8 (N, size, size, 3), labels int32) — deterministic."""
+def synth_set(n: int, size: int, offset: int = 0):
+    """(images uint8 (N, size, size, 3), labels int32) — deterministic.
+    ``offset`` shifts the index range so callers can build disjoint splits
+    (i % 4 keeps class balance at any multiple-of-4 offset)."""
     import numpy as np
 
     from tinydiffusion_tpu.data.laion import synthesize_image
 
-    xs = np.stack([synthesize_image(i, size)[0] for i in range(n)])
-    ys = (np.arange(n) % 4).astype(np.int32)
+    xs = np.stack([synthesize_image(i, size)[0]
+                   for i in range(offset, offset + n)])
+    ys = (np.arange(offset, offset + n) % 4).astype(np.int32)
     return xs, ys
 
 
@@ -105,7 +108,9 @@ def main(argv=None):
             x_tr, y_tr, num_classes=4, channels=tuple(channels),
             batch_size=args.batch, seed=args.seed,
         )
-        x_te, y_te = synth_set(256, size)  # fresh indices? same dist, ok
+        # Eval split from indices DISJOINT from the 0..n_train-1 training
+        # set — otherwise this is train accuracy mislabeled as test.
+        x_te, y_te = synth_set(256, size, offset=args.n_train)
         acc = classifier_accuracy(
             model, clf_params, x_te.astype(np.float32) / 127.5 - 1.0, y_te,
             batch_size=args.batch,
