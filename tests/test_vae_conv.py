@@ -133,3 +133,48 @@ def test_logvar_clamped_at_extreme_inputs(vae):
     assert float(logvar.max()) <= 10.0
     assert float(logvar.min()) >= -30.0
     assert np.isfinite(np.asarray(jnp.exp(logvar))).all()
+
+
+@pytest.mark.heavy
+def test_conv_vae_bf16_compute_trains():
+    """compute_dtype='bfloat16' (the r5 shipped config): params/loss stay
+    fp32, activations run bf16; two train steps produce finite decreasing
+    loss and fp32 gradients/params throughout."""
+    import optax
+
+    from tinydiffusion_tpu.experiments.vae_laion import (
+        ConvVAETrainState,
+        make_conv_vae_train_step,
+    )
+    from tinydiffusion_tpu.models.vae_conv import PerceptualNet
+
+    model = ConvVAE(latent_dim=16, image_size=SIZE, use_flash_attention=False,
+                    dtype=jnp.bfloat16)
+    perc = PerceptualNet(dtype=jnp.bfloat16)
+    perc_params = perc.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, SIZE, SIZE, 3)))["params"]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, SIZE, SIZE, 3)),
+                           jax.random.PRNGKey(0), train=False)
+    # every param leaf must be fp32 (bf16 is compute-only)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    tx = optax.adam(1e-3)
+    state = ConvVAETrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), rng=jax.random.PRNGKey(2),
+    )
+    step = make_conv_vae_train_step(model, perc, perc_params, tx, beta=1.0)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0.1, 0.9, (4, SIZE, SIZE, 3)),
+        jnp.float32,
+    )
+    losses = []
+    for _ in range(3):
+        state, loss, components = step(state, x)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    # loss is an fp32 accumulation even under bf16 compute
+    assert loss.dtype == jnp.float32
+    assert losses[-1] < losses[0], losses

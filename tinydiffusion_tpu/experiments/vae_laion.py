@@ -82,6 +82,24 @@ class VAELaionConfig(ConvVAEConfig):
     # file is handed to this offline environment.
     perceptual: str = "seeded"
     perceptual_weights: str = ""
+    # Compute dtype for the conv-VAE + perceptual net. 'bfloat16' works and
+    # is CPU/interpret-validated (tests/test_vae_conv.py), but is NOT the
+    # default: on this environment's TPU toolchain, bf16 compilations of
+    # this model NaN in a fusion-dependent way (measured r5: the SAME
+    # state/batch/key is finite eagerly and under jit-of-grad, NaN under
+    # jit-of-forward; a second compile moved the NaN from the perceptual
+    # branch into the decoder; bf16 max_pool/conv probes in isolation are
+    # clean — i.e. an XLA:TPU miscompilation we can only avoid, not fix;
+    # evidence: /tmp/v5/debug_{isolate,nan,pool}.log in the r5 session).
+    # fp32 conv-VAE training is proven at the full published recipe
+    # (225k steps, r3 — BASELINE.md).
+    compute_dtype: str = "float32"
+    # Resume from checkpoints/vae_laion_best if it exists: restores the FULL
+    # Orbax state (params + BN/SN stats + optimizer + RNG + step) and
+    # continues from the saved epoch — the trainer-level exact resume the
+    # reference lacks (it only has weight-resume in the LAION diffusion
+    # script, conditional_diffusion_laion.py:376-383).
+    resume: bool = False
 
 
 def _conv_vae_raw_step(model: ConvVAE, perceptual: PerceptualNet, perc_params,
@@ -200,13 +218,15 @@ def load_images(config: VAELaionConfig) -> np.ndarray:
 
 def run(config: VAELaionConfig) -> dict:
     rng = jax.random.PRNGKey(config.seed)
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     model = ConvVAE(
         latent_dim=config.latent_dim,
         input_channels=config.input_channels,
         image_size=config.image_size,
         use_flash_attention=config.use_flash_attention,
+        dtype=dtype,
     )
-    perceptual = PerceptualNet()
+    perceptual = PerceptualNet(dtype=dtype)
     if config.perceptual == "vgg16":
         # The reference's frozen pretrained VGG16 features[:16]
         # (vae_laion.py:170-176), converted from a torch state-dict file.
@@ -334,6 +354,26 @@ def run(config: VAELaionConfig) -> dict:
     keeper = BestKeeper(f"{config.checkpoint_dir}/vae_laion_best")
     result = {"test_losses": []}
 
+    start_epoch = 1
+    if config.resume:
+        from tinydiffusion_tpu.io.checkpoint import (
+            checkpoint_exists,
+            load_sidecar,
+            restore_checkpoint,
+        )
+
+        ckpt_path = f"{config.checkpoint_dir}/vae_laion_best"
+        if checkpoint_exists(ckpt_path):
+            state = restore_checkpoint(ckpt_path, state)
+            meta = load_sidecar(ckpt_path).get("metadata", {})
+            keeper.best = float(meta.get("metric", float("inf")))
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            print(f"Resumed from {ckpt_path}: epoch {start_epoch - 1} "
+                  f"(best loss {keeper.best:.4f}), continuing at epoch "
+                  f"{start_epoch}")
+        else:
+            print(f"--resume set but {ckpt_path} not found; starting fresh")
+
     def nonzero_batches(epoch_iter):
         """Host-side all-zero-batch skip (failed downloads,
         vae_laion.py:346-350) — checked on the uint8 bytes BEFORE the
@@ -345,7 +385,7 @@ def run(config: VAELaionConfig) -> dict:
             yield (x,)
 
     batch_sh = batch_sharding(mesh) if mesh is not None else None
-    for epoch in range(1, config.epochs + 1):
+    for epoch in range(start_epoch, config.epochs + 1):
         train_acc, n_seen = LossAccumulator(), 0
         comp_acc: dict = {}
         if resident:
@@ -353,9 +393,10 @@ def run(config: VAELaionConfig) -> dict:
             if config.max_steps_per_epoch:
                 idxs = idxs[: config.max_steps_per_epoch]
             g = config.log_interval
-            for start in range(0, len(idxs), g):
-                chunk = jnp.asarray(idxs[start : start + g])
-                state, losses, components = resident_step(state, chunk)
+
+            def _drain(pending):
+                nonlocal n_seen
+                start, k_steps, losses, components = pending
                 # ONE host fetch per group: per-element losses[j]/v[j]
                 # slicing spawned ~60 tiny device programs per 10-step
                 # group (6 vectors x K elements) plus 6 fetch round-trips.
@@ -363,13 +404,27 @@ def run(config: VAELaionConfig) -> dict:
                 train_acc.add_many(np.asarray(host_losses))
                 for k, v in host_comp.items():
                     comp_acc.setdefault(k, LossAccumulator()).add_many(np.asarray(v))
-                n_seen += chunk.shape[0] * config.batch_size
+                n_seen += k_steps * config.batch_size
                 comp = {k: float(v[0]) for k, v in host_comp.items()}
                 logger.log(
                     {"epoch": epoch, "batch": start,
                      "batch_train_loss": float(host_losses[0]) / config.batch_size,
                      **comp}
                 )
+
+            # One-deep fetch pipeline: dispatch group i+1 BEFORE fetching
+            # group i's losses, so the host<->device round trip (the
+            # dominant per-group cost on this tunneled backend) overlaps
+            # with device execution instead of serializing after it.
+            pending = None
+            for start in range(0, len(idxs), g):
+                chunk = jnp.asarray(idxs[start : start + g])
+                state, losses, components = resident_step(state, chunk)
+                if pending is not None:
+                    _drain(pending)
+                pending = (start, chunk.shape[0], losses, components)
+            if pending is not None:
+                _drain(pending)
         else:
             batches = prefetch_to_device(
                 nonzero_batches(train_it.epoch(epoch)), sharding=batch_sh,

@@ -54,18 +54,53 @@ class ConvVAEConfig:
     beta: float = 1.0
 
 
-def _dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Unscaled dense attention over tokens: softmax(q k^T) v.
+def _dense_attention(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray) -> jnp.ndarray:
+    """Unscaled dense attention over tokens: softmax(q k^T) v, in the
+    transposed layout — qt, kt: (B, D, N); vt: (B, C, N) -> (B, C, N).
 
-    q, k: (B, N, D); v: (B, N, C). Matches vae_laion.py:58-63 exactly
-    (no 1/sqrt(d) scaling)."""
-    logits = jnp.einsum("bnd,bmd->bnm", q, k)
+    Matches vae_laion.py:58-63 exactly (no 1/sqrt(d) scaling).
+    Logits/softmax run fp32 even for bf16 inputs — the logits are UNSCALED
+    (magnitudes ~ +-10) and exp() amplifies bf16 logit error into ~% -level
+    attention-weight error (same rationale as the flash kernel's fp32 logit
+    accumulation, ops/attention.py)."""
+    logits = jnp.einsum("bdn,bdm->bnm", qt, kt,
+                        preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bnm,bmc->bnc", attn, v)
+    return jnp.einsum("bnm,bcm->bcn", attn.astype(vt.dtype), vt,
+                      preferred_element_type=jnp.float32).astype(vt.dtype)
+
+
+class _Proj1x1T(nn.Module):
+    """1x1 projection applied to a TRANSPOSED (B, C, N) feature map,
+    emitting (B, F, N) — numerically the same dot as ``nn.Conv(F, (1, 1))``
+    on NHWC, with identical param names/shapes (kernel (1, 1, C, F), bias
+    (F,)), but its output is already in the attention kernel's native
+    minor-dim-N layout, so no per-operand transpose is needed."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xt: jnp.ndarray) -> jnp.ndarray:
+        c = xt.shape[1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (1, 1, c, self.features)
+        )
+        bias = self.param("bias", torch_bias_init(c), (self.features,))
+        w = kernel.reshape(c, self.features).astype(self.dtype)
+        out = jnp.einsum("cf,bcn->bfn", w, xt.astype(self.dtype))
+        return out + bias.astype(self.dtype)[:, None]
 
 
 class SelfAttention2D(nn.Module):
-    """vae_laion.py:50-65 on NHWC feature maps."""
+    """vae_laion.py:50-65 on NHWC feature maps.
+
+    TPU layout note: the whole block runs in the transposed (B, *, N)
+    layout — ONE transpose of the input feature map in, one transpose of
+    the attention output back out. Projecting q/k/v in (B, N, *) and
+    transposing each operand for the minor-dim-N flash kernel cost 4
+    layout copies per site (x2 with their VJPs), the conv-VAE step's
+    dominant non-MXU residue (BASELINE.md)."""
 
     use_flash: bool = True  # Pallas kernel on TPU when shapes allow
     dtype: Any = jnp.float32
@@ -74,32 +109,30 @@ class SelfAttention2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         d = max(c // 8, 1)
+        xt = x.reshape(b, h * w, c).swapaxes(1, 2)  # (B, C, N) — one copy
 
-        def conv1x1(features, name):
-            return nn.Conv(
-                features, (1, 1),
-                kernel_init=torch_kernel_init,
-                bias_init=torch_bias_init(c),
-                dtype=self.dtype, name=name,
-            )(x)
+        qt = _Proj1x1T(d, dtype=self.dtype, name="query")(xt)
+        kt = _Proj1x1T(d, dtype=self.dtype, name="key")(xt)
+        vt = _Proj1x1T(c, dtype=self.dtype, name="value")(xt)
 
-        q = conv1x1(d, "query").reshape(b, h * w, d)
-        k = conv1x1(d, "key").reshape(b, h * w, d)
-        v = conv1x1(c, "value").reshape(b, h * w, c)
-
-        attn_out = None
+        attn_t = None
         if self.use_flash:
             try:
-                from tinydiffusion_tpu.ops.attention import flash_attention_unscaled
+                from tinydiffusion_tpu.ops.attention import (
+                    flash_attention_unscaled_t,
+                )
 
-                attn_out = flash_attention_unscaled(q, k, v)
+                attn_t = flash_attention_unscaled_t(qt, kt, vt)
             except Exception:
-                attn_out = None  # fall back to dense einsum path
-        if attn_out is None:
-            attn_out = _dense_attention(q, k, v)
+                attn_t = None  # fall back to dense einsum path
+        if attn_t is None:
+            attn_t = _dense_attention(qt, kt, vt)
 
-        gamma = self.param("gamma", nn.initializers.zeros, (1,), self.dtype)
-        return gamma * attn_out.reshape(b, h, w, c) + x
+        attn_out = attn_t.swapaxes(1, 2).reshape(b, h, w, c)  # one copy back
+        # The PARAM stays fp32 (like every other param under bf16 compute);
+        # only the multiply runs in the compute dtype.
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        return gamma.astype(x.dtype) * attn_out + x
 
 
 class ResidualBlockSN(nn.Module):
@@ -117,9 +150,17 @@ class ResidualBlockSN(nn.Module):
                 kernel_init=torch_kernel_init, dtype=self.dtype, name="conv1",
             )
         )(x, update_stats=train)
+        # use_fast_variance=False: the fast path's var = E[x^2] - E[x]^2
+        # cancels catastrophically on near-constant channels (bf16-rounded
+        # activations make these common after ~20 train steps) and can go
+        # slightly NEGATIVE -> rsqrt(var + eps) = NaN, fusion-order
+        # dependent (measured r5: eager fwd finite, jit fwd NaN, jit grad
+        # finite, same state/batch/key). The two-pass E[(x-mean)^2] is
+        # non-negative by construction — and is what torch's batch_norm
+        # computes, so this is also the closer-parity choice.
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
+            use_fast_variance=False, dtype=self.dtype, name="bn1",
         )(h)
         h = nn.relu(h)
         h = nn.SpectralNorm(
@@ -130,7 +171,7 @@ class ResidualBlockSN(nn.Module):
         )(h, update_stats=train)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn2",
+            use_fast_variance=False, dtype=self.dtype, name="bn2",
         )(h)
         return h + residual
 
@@ -293,6 +334,17 @@ def conv_vae_loss(
     host-side NaN print (220-227) with structured metrics the caller can
     check and log.
     """
+    # The loss is ALWAYS accumulated in fp32 regardless of the model's
+    # compute dtype: these are sums over up to 256*64*64 elements, and a
+    # bf16 accumulation would lose ~3 decimal digits (the model under
+    # compute_dtype='bfloat16' hands bf16 mu/logvar/features here; the
+    # converts fuse into the producing ops).
+    x = x.astype(jnp.float32)
+    recon_x = recon_x.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    recon_features = recon_features.astype(jnp.float32)
+    target_features = target_features.astype(jnp.float32)
     # torch F.binary_cross_entropy clamps the log terms at -100 (its
     # documented "log(0) = -inf" guard) — an fp32 epsilon-clip on p does NOT
     # work (1 - 1e-12 rounds back to exactly 1.0, and a saturated sigmoid

@@ -79,6 +79,11 @@ def _dot(a, b, dims, precision=None):
 # MXU's depth), so the 6->3 pass cut is a direct win at the N=16384 site.
 # Value-side dots keep the default precision — their error is not
 # exponentiated.
+#
+# When the INPUTS are already bf16 (compute_dtype='bfloat16' models, r5),
+# the kernels skip the split entirely: a single bf16 x bf16 MXU pass with
+# fp32 accumulation is exact for bf16 operands, so the fp32-input bf16x3
+# machinery would cost 3x the passes for zero precision gain.
 _HI = jax.lax.Precision.HIGHEST  # interpreter/CPU path only (tests)
 
 
@@ -106,16 +111,24 @@ def _dot3(a, b, dims):
 
 
 def _fwd_kernel(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, *, block_k: int):
-    qt = qt_ref[0].astype(jnp.float32)  # (D, bq)
+    # bf16 inputs (the compute_dtype='bfloat16' models): one MXU pass is
+    # EXACT for the logit dot (bf16 x bf16 with fp32 accumulation), so the
+    # bf16x3 split would pay 3x the passes for zero extra precision.
+    bf16_in = qt_ref.dtype == jnp.bfloat16
+    qt_raw = qt_ref[0]  # (D, bq), input dtype
+    qt = qt_raw.astype(jnp.float32)
     n = kt_ref.shape[-1]
     bq = qt.shape[-1]
     c = vt_ref.shape[1]
 
     def body(j, carry):
         acc_t, m, l = carry  # (C, bq), (1, bq), (1, bq)
-        kt = kt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (D, bk)
+        kt_raw = kt_ref[0, :, pl.ds(j * block_k, block_k)]  # (D, bk)
         vt = vt_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)  # (C, bk)
-        s_t = _dot3(kt, qt, ((0,), (0,)))  # (bk, bq) — unscaled logits^T
+        if bf16_in:
+            s_t = _dot(kt_raw, qt_raw, ((0,), (0,)))  # (bk, bq), exact
+        else:
+            s_t = _dot3(kt_raw.astype(jnp.float32), qt, ((0,), (0,)))  # (bk, bq)
         m_new = jnp.maximum(m, jnp.max(s_t, axis=0, keepdims=True))
         p_t = jnp.exp(s_t - m_new)
         alpha = jnp.exp(m - m_new)
@@ -181,7 +194,9 @@ def _bwd_fused_kernel(
     qt_ref, kt_ref, vt_ref, dot_ref, lse_ref, delta_ref,
     dqt_ref, dkt_ref, dvt_ref, *, block_q
 ):
-    kt = kt_ref[0].astype(jnp.float32)  # (D, bk)
+    bf16_in = qt_ref.dtype == jnp.bfloat16  # see _fwd_kernel
+    kt_raw = kt_ref[0]  # (D, bk), input dtype
+    kt = kt_raw.astype(jnp.float32)
     vt = vt_ref[0].astype(jnp.float32)  # (C, bk)
     n = qt_ref.shape[-1]
     d, bk = kt.shape
@@ -193,11 +208,15 @@ def _bwd_fused_kernel(
 
     def body(i, carry):
         dkt, dvt = carry
-        qt = qt_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)  # (D, bq)
+        qt_raw = qt_ref[0, :, pl.ds(i * block_q, block_q)]  # (D, bq)
+        qt = qt_raw.astype(jnp.float32)
         dot_blk = dot_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
         lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
         delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]  # (1, bq)
-        s_t = _dot3(kt, qt, ((0,), (0,)))  # (bk, bq)
+        if bf16_in:
+            s_t = _dot(kt_raw, qt_raw, ((0,), (0,)))  # (bk, bq), exact
+        else:
+            s_t = _dot3(kt, qt, ((0,), (0,)))  # (bk, bq)
         p_t = jnp.exp(s_t - lse)
         dvt_new = dvt + _dot(dot_blk, p_t, ((1,), (1,)))  # (C, bk)
         dp_t = _dot(vt, dot_blk, ((0,), (0,)))  # (bk, bq)
@@ -291,3 +310,35 @@ def flash_attention_unscaled(
     if n <= _DENSE_N_THRESHOLD or n % block_q or n % block_k:
         return _dense(q, k, v)
     return _flash(q, k, v, block_q, block_k)
+
+
+def _dense_t(qt, kt, vt):
+    """Dense attention in the transposed (B, *, N) layout."""
+    logits = jnp.einsum("bdn,bdm->bnm", qt, kt,
+                        preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnm,bcm->bcn", attn.astype(vt.dtype), vt,
+                      preferred_element_type=jnp.float32).astype(vt.dtype)
+
+
+def flash_attention_unscaled_t(
+    qt: jnp.ndarray,
+    kt: jnp.ndarray,
+    vt: jnp.ndarray,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """``flash_attention_unscaled`` taking/returning the kernel's NATIVE
+    transposed layout: qt/kt (B, D, N), vt (B, C, N) -> (B, C, N).
+
+    Callers that can produce q/k/v with N minor (SelfAttention2D projects
+    from an (B, C, N) feature map directly) skip the four per-site
+    (B, N, *) <-> (B, *, N) layout copies the (B, N, *) entry point pays —
+    measured as the dominant residue of the conv-VAE 256^2 step
+    (BASELINE.md, ~10 layout copies / 2.7 ms of a 29.5 ms device step)."""
+    n = qt.shape[-1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    if n <= _DENSE_N_THRESHOLD or n % block_q or n % block_k:
+        return _dense_t(qt, kt, vt)
+    return _flash_t(qt, kt, vt, block_q, block_k)

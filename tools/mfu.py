@@ -88,16 +88,19 @@ def mfu_unet28(batch: int = 128) -> dict:
     }
 
 
-def mfu_vae256(batch: int = 4) -> dict:
-    """The LAION conv-VAE at the reference's full 256x256 recipe."""
+def mfu_vae256(batch: int = 4, compute_dtype: str = "float32") -> dict:
+    """The LAION conv-VAE at the reference's full 256x256 recipe, in the
+    SHIPPED compute dtype (fp32 — bf16 is blocked on a TPU-toolchain
+    miscompilation, see VAELaionConfig.compute_dtype)."""
     from tinydiffusion_tpu.experiments.vae_laion import (
         ConvVAETrainState,
         make_conv_vae_train_step,
     )
     from tinydiffusion_tpu.models.vae_conv import ConvVAE, PerceptualNet
 
-    model = ConvVAE(latent_dim=128, image_size=256)
-    perceptual = PerceptualNet()
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    model = ConvVAE(latent_dim=128, image_size=256, dtype=dtype)
+    perceptual = PerceptualNet(dtype=dtype)
     perc_params = perceptual.init(
         jax.random.PRNGKey(123), jnp.zeros((1, 256, 256, 3))
     )["params"]
