@@ -90,7 +90,7 @@ class VAELaionConfig(ConvVAEConfig):
     # jit-of-forward; a second compile moved the NaN from the perceptual
     # branch into the decoder; bf16 max_pool/conv probes in isolation are
     # clean — i.e. an XLA:TPU miscompilation we can only avoid, not fix;
-    # evidence: /tmp/v5/debug_{isolate,nan,pool}.log in the r5 session).
+    # evidence: docs/evidence/bf16_convvae/ — scripts + captured logs).
     # fp32 conv-VAE training is proven at the full published recipe
     # (225k steps, r3 — BASELINE.md).
     compute_dtype: str = "float32"
