@@ -43,6 +43,13 @@ def main(argv=None):
                              "with --caption-dropout only; 1 = off)")
     parser.add_argument("--sample-dtype", default=None,
                         help="override the sidecar's sample dtype")
+    parser.add_argument("--dump-dir", default=None,
+                        help="also write every sample as an individual PNG "
+                             "(feeds tools/fid_eval_laion.py --samples-dir)")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="with --dump-dir: sample this many batches "
+                             "(seeds seed..seed+repeat-1; one compiled "
+                             "program, shapes unchanged)")
     args = parser.parse_args(argv)
 
     import jax
@@ -149,6 +156,27 @@ def main(argv=None):
     save_image_grid(np.asarray(imgs), args.out, nrow=nrow, normalize=False,
                     labels=prompts)
     print(f"wrote {len(prompts)} samples to {args.out}")
+
+    if args.dump_dir:
+        import os
+
+        from PIL import Image
+
+        os.makedirs(args.dump_dir, exist_ok=True)
+        n_written = 0
+        for r in range(args.repeat):
+            batch = imgs if r == 0 else sampler(
+                params, state.batch_stats,
+                jax.random.PRNGKey(args.seed + r), embeds,
+            )
+            for i, im in enumerate(np.asarray(batch)):
+                arr = (np.clip(im, 0.0, 1.0) * 255).astype(np.uint8)
+                Image.fromarray(arr, mode="RGB").save(
+                    os.path.join(args.dump_dir, f"sample_{r:03d}_{i:02d}.png")
+                )
+                n_written += 1
+            print(f"dumped batch {r + 1}/{args.repeat}")
+        print(f"wrote {n_written} individual PNGs to {args.dump_dir}")
 
 
 if __name__ == "__main__":
