@@ -151,9 +151,6 @@ def main(argv=None):
 
     # --- conv-VAE rows ----------------------------------------------------
     if checkpoint_exists(args.vae_checkpoint):
-        import optax
-
-        from tinydiffusion_tpu.experiments.vae_laion import ConvVAETrainState
         from tinydiffusion_tpu.models.vae_conv import ConvVAE
 
         vae = ConvVAE(latent_dim=args.latent_dim, image_size=size)
@@ -161,19 +158,47 @@ def main(argv=None):
             jax.random.PRNGKey(0), jnp.zeros((2, size, size, 3)),
             jax.random.PRNGKey(0), train=False,
         )
-        tx = optax.adam(1e-4)
-        template = ConvVAETrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
-            rng=jax.random.PRNGKey(0),
-        )
-        vstate = restore_checkpoint(args.vae_checkpoint, template)
+        serving = {"params": variables["params"],
+                   "batch_stats": variables.get("batch_stats", {}),
+                   "step": jnp.zeros((), jnp.int32)}
+        if os.path.exists(args.vae_checkpoint + ".npz"):
+            # Portable serving weights — the committed cold-start artifact.
+            from tinydiffusion_tpu.io.checkpoint import restore_weights
+
+            w = restore_weights(args.vae_checkpoint, serving)
+        else:
+            # Full Orbax state: the opt_state tree depends on how training
+            # built its optimizer (adam, clip-chained when clip_norm > 0 —
+            # experiments/vae_laion.py:255-257), so rebuild it from the
+            # sidecar instead of guessing a bare adam (the bare-adam
+            # template failed restore against a clip-chained checkpoint).
+            import optax
+
+            from tinydiffusion_tpu.experiments.vae_laion import (
+                ConvVAETrainState,
+            )
+            from tinydiffusion_tpu.io.checkpoint import load_sidecar
+
+            cfg = load_sidecar(args.vae_checkpoint).get("config", {})
+            tx = optax.adam(cfg.get("learning_rate", 1e-4))
+            if cfg.get("clip_norm", 0):
+                tx = optax.chain(
+                    optax.clip_by_global_norm(cfg["clip_norm"]), tx
+                )
+            template = ConvVAETrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=tx.init(variables["params"]),
+                rng=jax.random.PRNGKey(0),
+            )
+            vstate = restore_checkpoint(args.vae_checkpoint, template)
+            w = {"params": vstate.params, "batch_stats": vstate.batch_stats,
+                 "step": vstate.step}
         print(f"loaded conv-VAE from {args.vae_checkpoint} "
-              f"(step {int(vstate.step)})")
-        vars_eval = {"params": vstate.params,
-                     "batch_stats": vstate.batch_stats}
+              f"(step {int(w['step'])})")
+        vars_eval = {"params": w["params"],
+                     "batch_stats": w["batch_stats"]}
 
         @jax.jit
         def recon(x01, key):
