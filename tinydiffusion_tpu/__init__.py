@@ -42,8 +42,22 @@ import os as _os
 if not _os.environ.get("TINYDIFF_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.expanduser(
-        "~/.cache/tinydiffusion_tpu/xla_cache"
+    # A git clone ships a pre-populated cache at <repo>/.xla_cache (the
+    # quick-gate + bench + dryrun compile set, committed via `git add -f`;
+    # new entries written at runtime stay gitignored). Using it directly
+    # makes a fresh clone's first test/bench run warm instead of paying the
+    # 1-core XLA:CPU compile tail (measured: 421 s cold vs 93.5 s warm for
+    # the quick gate). Entries are keyed by jaxlib/compiler version +
+    # backend + compile options, so a stale seed is a silent miss, never a
+    # wrong hit. Env var still wins; ~/.cache is the non-clone fallback.
+    _repo_cache = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".xla_cache",
+    )
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
+        _repo_cache
+        if _os.path.isdir(_repo_cache)
+        else _os.path.expanduser("~/.cache/tinydiffusion_tpu/xla_cache")
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
